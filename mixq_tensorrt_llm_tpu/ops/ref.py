@@ -1,0 +1,144 @@
+"""jnp reference implementations of every hot op.
+
+These are the semantic ground truth for the Pallas kernels (tests assert
+kernel == ref) and the CPU / interpret-mode fallback path. Each function
+documents the reference CUDA op it reproduces.
+
+All functions are pure and jittable; XLA already fuses most of them well —
+the Pallas versions exist to beat XLA on the fusion patterns it cannot see
+(quant epilogues inside matmuls, outlier side-GEMM accumulation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import core as qcore
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Standard RMSNorm in float32 accumulation."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rmsnorm_quant_split(
+    x: jax.Array, weight: jax.Array, fp_ind: jax.Array, eps: float = 1e-6
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused RMSNorm -> outlier gather -> per-token int8 quantize.
+
+    The single biggest fusion idea carried over from the reference
+    (mixlib ``layernorm_forward_cuda_extract_outliers``,
+    quantkernel/mix_cuda/layernorm/layernorm.cu:122-416): one pass producing
+      q_x       int8  (..., in)  — normed activations, outliers zeroed, quantized
+      scale_row f32   (...,)     — per-token scales
+      x_outliers bf16 (..., k)   — normed outlier activation channels
+    """
+    normed = rmsnorm(x, weight, eps)
+    x_out, x_zeroed = qcore.extract_outliers_and_zero(normed, fp_ind)
+    q_x, scale_row = qcore.quantize_activations(x_zeroed)
+    return q_x, scale_row, x_out.astype(jnp.bfloat16)
+
+
+def quant_split(x: jax.Array, fp_ind: jax.Array
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Outlier gather -> per-token int8 quantize (no norm).
+
+    Used where the input is not preceded by an RMSNorm (e.g. mlp.up output
+    feeding down_proj in other routings). Mirrors
+    FindRowScaleFusedExtracOutliers (mixlib, cult.cu).
+    """
+    x_out, x_zeroed = qcore.extract_outliers_and_zero(x, fp_ind)
+    q_x, scale_row = qcore.quantize_activations(x_zeroed)
+    return q_x, scale_row, x_out.astype(jnp.bfloat16)
+
+
+def mixed_matmul(
+    q_x: jax.Array,          # int8 (m, in)    quantized activations (outliers zeroed)
+    scale_row: jax.Array,    # f32  (m,)       per-token activation scales
+    x_outliers: jax.Array,   # bf16 (m, k)     outlier activation channels
+    qweight: jax.Array,      # int8 (in, out)  quantized weight
+    scale_col: jax.Array,    # f32  (out,)     per-out-channel weight scales
+    fp_weight: jax.Array,    # bf16 (k, out)   outlier weight rows
+    silu: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """The MixQ prefill GEMM: int8 MXU matmul with dequant epilogue plus the
+    fp16 outlier side-GEMM accumulated in, optional fused SiLU.
+
+    Math (reference TsinghuaMixQPlugin.cpp:518-532 + CUTLASS
+    LinearCombinationDequant epilogue linear_combination_dequant.h:120-160):
+        Out = silu?( (q_x @ qweight) * scale_row[:,None] * scale_col[None,:]
+                     + x_outliers @ fp_weight )
+    """
+    acc = jax.lax.dot_general(
+        q_x, qweight,
+        dimension_numbers=(((q_x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc = acc * scale_row[..., None] * scale_col[None, :]
+    side = jnp.dot(x_outliers.astype(jnp.float32),
+                   fp_weight.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    out = acc + side
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(out_dtype)
+
+
+def mix_linear(x: jax.Array, qweight: jax.Array, scale_col: jax.Array,
+               fp_ind: jax.Array, fp_weight: jax.Array,
+               silu: bool = False, out_dtype=jnp.bfloat16) -> jax.Array:
+    """Whole unfused mixed linear from float activations (testing helper)."""
+    q_x, scale_row, x_out = quant_split(x, fp_ind)
+    return mixed_matmul(q_x, scale_row, x_out, qweight, scale_col, fp_weight,
+                        silu=silu, out_dtype=out_dtype)
+
+
+def wo_matmul(
+    x: jax.Array,            # bf16 (m, in)
+    qweight: jax.Array,      # int8 (in, out) — int4 values held in int8 ok
+    scale_col: jax.Array,    # f32  (out,)
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Weight-only W8A16/W4A16 matmul: dequantize weight, bf16 MXU matmul.
+
+    Decode path replacement for fpA_intB_gemm / weightOnlyBatchedGemv
+    (weightonlykernel/fpA_intB_gemm_wrapper.cu:28-66). On TPU this regime is
+    HBM-bandwidth-bound on the int8 weight read; the Pallas version
+    dequantizes in VMEM so HBM traffic is 1 byte/weight.
+    """
+    w = qweight.astype(jnp.bfloat16)
+    acc = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    return (acc * scale_col[None, :]).astype(out_dtype)
+
+
+def attention(
+    q: jax.Array,            # (b, sq, hq, d)
+    k: jax.Array,            # (b, skv, hkv, d)
+    v: jax.Array,            # (b, skv, hkv, d)
+    mask: Optional[jax.Array] = None,   # broadcastable to (b, hq, sq, skv), True = keep
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference multi-head attention with GQA (hq % hkv == 0), f32 softmax."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+    scale = scale if scale is not None else d ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if groups > 1:
+        kf = jnp.repeat(kf, groups, axis=2)
+        vf = jnp.repeat(vf, groups, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    return out.astype(q.dtype)
