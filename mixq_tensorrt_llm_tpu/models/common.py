@@ -1,0 +1,257 @@
+"""Model config, RoPE, KV cache containers, and the shared decoder forward.
+
+TPU-native replacement for the reference's model definitions
+(tensorrt_llm/models/llama/model.py, tensorrt_llm/layers/attention.py,
+MixQ/src/mixquant/modules/fused/*): models are pure functions over pytree
+params; layers are stacked on a leading axis and iterated with lax.scan so
+compile time is O(1) in depth; qkv and gate/up projections are fused into
+single GEMMs (the reference does the same via LlamaFuser / merge_qkv,
+models/llama.py:100-177, model_config_utils.py:203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.config import QuantAlgo, QuantConfig, KVCacheQuantAlgo
+from ..quant import core as qcore
+from ..ops import ref as ops_ref
+from ..ops import dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture description (hashable -> usable as a jit static arg).
+
+    Mirrors the fields of the reference PretrainedConfig that matter for
+    Llama/Qwen2 (tensorrt_llm/models/modeling_utils.py PretrainedConfig).
+    """
+
+    arch: str = "llama"                  # "llama" | "qwen2"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 4096
+    qkv_bias: bool = False               # True for Qwen2
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    quant: QuantConfig = QuantConfig()
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_out(self) -> int:
+        return self.q_size + 2 * self.kv_size
+
+    def module_algo(self, name: str) -> QuantAlgo:
+        return self.quant.module_algo(name)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["dtype"] = jnp.dtype(self.dtype).name
+        d["quant"] = self.quant.to_dict()
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        d = dict(d)
+        if "dtype" in d:
+            d["dtype"] = jnp.dtype(d["dtype"]).type
+        if "quant" in d and not isinstance(d["quant"], QuantConfig):
+            d["quant"] = QuantConfig.from_dict(d["quant"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class KVCache(NamedTuple):
+    """Dense ring-less KV cache, layers stacked on the leading axis.
+
+    bf16 mode:  k/v (L, B, S, Hkv, D) model dtype; k_scale/v_scale = None.
+    int8 mode:  k/v int8 same shape; scales (L, B, S, Hkv) float32
+                (per-token-per-head — finer than the reference's per-tensor
+                KV scale, see quant/core.quantize_kv).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(shape[:-1], jnp.float32),
+            v_scale=jnp.ones(shape[:-1], jnp.float32),
+        )
+    return KVCache(k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """positions (..., S) int -> sin/cos (..., S, D/2) float32."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """x (B, S, H, D); sin/cos (B, S, D/2). Non-interleaved (rotate_half)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(jnp.float32)
+    s, c = sin[:, :, None, :], cos[:, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s],
+                           axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoder forward (shared by Llama / Qwen2)
+# ---------------------------------------------------------------------------
+
+def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
+                          write_pos, kv_valid_len):
+    """Write new_k/new_v into this layer's cache at write_pos and attend.
+
+    q/new_k/new_v: (B, S, H, D); layer_cache: dict with k/v (+scales) of
+    shape (B, Smax, Hkv, D); write_pos: (B, S) absolute positions;
+    kv_valid_len: (B,) number of valid kv entries AFTER this write.
+    Returns (attn_out (B,S,Hq,D), updated layer_cache dict).
+    """
+    b, s = q.shape[0], q.shape[1]
+    batch_idx = jnp.arange(b)[:, None]  # (B, 1) broadcasts with (B, S)
+
+    ck, cv = layer_cache["k"], layer_cache["v"]
+    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+        qk, sk = qcore.quantize_kv(new_k)
+        qv, sv = qcore.quantize_kv(new_v)
+        ck = ck.at[batch_idx, write_pos].set(qk)
+        cv = cv.at[batch_idx, write_pos].set(qv)
+        cks = layer_cache["k_scale"].at[batch_idx, write_pos].set(sk)
+        cvs = layer_cache["v_scale"].at[batch_idx, write_pos].set(sv)
+        k_all = qcore.dequantize_kv(ck, cks, dtype=cfg.dtype)
+        v_all = qcore.dequantize_kv(cv, cvs, dtype=cfg.dtype)
+        new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
+    else:
+        ck = ck.at[batch_idx, write_pos].set(new_k.astype(ck.dtype))
+        cv = cv.at[batch_idx, write_pos].set(new_v.astype(cv.dtype))
+        k_all, v_all = ck, cv
+        new_cache = {"k": ck, "v": cv}
+
+    smax = k_all.shape[1]
+    kv_idx = jnp.arange(smax)
+    # mask (B, 1, S, Smax): causal in absolute positions, limited to valid len
+    mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
+           (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
+    out = ops_ref.attention(q, k_all, v_all, mask=mask,
+                            scale=cfg.head_dim ** -0.5)
+    return out, new_cache
+
+
+def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
+                  sin, cos, layer_cache, write_pos, kv_valid_len):
+    """One pre-norm decoder block. x: (B, S, hidden)."""
+    b, s, _ = x.shape
+
+    # --- attention ---
+    h = ops_ref.rmsnorm(x, layer_params["input_norm"]["w"], cfg.rms_norm_eps)
+    qkv = dispatch.linear(layer_params["qkv_proj"], h,
+                          cfg.module_algo("qkv_proj"))
+    q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, sin, cos)
+    k = apply_rope(k, sin, cos)
+    attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
+                                            write_pos, kv_valid_len)
+    attn = attn.reshape(b, s, cfg.q_size)
+    attn = dispatch.linear(layer_params["o_proj"], attn,
+                           cfg.module_algo("o_proj"))
+    x = x + attn.astype(x.dtype)
+
+    # --- mlp (SwiGLU, fused gate_up GEMM) ---
+    h = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"], cfg.rms_norm_eps)
+    gate_up = dispatch.linear(layer_params["gate_up_proj"], h,
+                              cfg.module_algo("gate_up_proj"))
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    h = (jax.nn.silu(gate.astype(jnp.float32)) *
+         up.astype(jnp.float32)).astype(x.dtype)
+    h = dispatch.linear(layer_params["down_proj"], h,
+                        cfg.module_algo("down_proj"))
+    return x + h.astype(x.dtype), new_cache
+
+
+def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
+            write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array
+            ) -> Tuple[jax.Array, KVCache]:
+    """Full decoder forward.
+
+    tokens:       (B, S) int32
+    write_pos:    (B, S) absolute position of each token (rope + cache slot)
+    cache:        KVCache with layers stacked on axis 0
+    kv_valid_len: (B,) valid kv length after this call's writes
+    Returns (logits (B, S, vocab) float32, updated cache).
+    """
+    x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
+    sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
+
+    layer_cache_struct = {"k": cache.k, "v": cache.v}
+    if cache.quantized:
+        layer_cache_struct.update(k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+    def body(x, per_layer):
+        layer_params, layer_cache = per_layer
+        x, new_cache = decoder_layer(cfg, layer_params, x, sin, cos,
+                                     layer_cache, write_pos, kv_valid_len)
+        return x, new_cache
+
+    x, new_caches = jax.lax.scan(body, x,
+                                 (params["layers"], layer_cache_struct))
+    x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
+
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        logits = jnp.dot(x.astype(jnp.bfloat16),
+                         params["embed"]["w"].T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
+        logits = logits.astype(jnp.float32)
+
+    new_cache = KVCache(
+        k=new_caches["k"], v=new_caches["v"],
+        k_scale=new_caches.get("k_scale"), v_scale=new_caches.get("v_scale"),
+    )
+    return logits.astype(jnp.float32), new_cache

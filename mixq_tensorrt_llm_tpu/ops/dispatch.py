@@ -1,0 +1,128 @@
+"""Quantized linear dispatch: params dict + algo -> forward.
+
+This is the TPU-native replacement for the reference's layer swapping
+(tensorrt_llm/quantization/quantize.py:307-349 mix_quantize_ootb swapping
+Linears for MixQLinear; MixQ/src/mixquant/modules/linear.py MixLinear_GEMM
+dispatch). There is no module surgery: a linear is just a params dict whose
+schema encodes its quantization, and this module picks the compute path at
+trace time.
+
+Param schemas (weights in (in, out) "kernel" layout):
+  NONE:      {"w": bf16 (in, out)} [+ "b"]
+  W8A16:     {"qweight": int8 (in, out), "scale_col": f32 (out,)} [+ "b"]
+  W4A16:     same, qweight holds int4 values in int8 (or packed uint8 "qweight_packed")
+  INT8_MIX:  {"qweight", "scale_col", "fp_ind": int32 (k,),
+              "fp_weight": bf16 (k, out)} [+ "b"]
+  INT4_MIX:  same with int4-valued qweight
+
+Backend: "ref" uses the jnp reference ops (XLA fusion only); "pallas" uses
+the hand-written TPU kernels. Default is pallas on TPU, ref elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.config import QuantAlgo
+from ..quant import core as qcore
+from . import ref
+
+
+@functools.cache
+def default_backend() -> str:
+    forced = os.environ.get("MIXQ_BACKEND")
+    if forced:
+        return forced
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "ref"
+
+
+def _maybe_bias(out: jax.Array, params: dict) -> jax.Array:
+    b = params.get("b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def linear(params: dict, x: jax.Array, algo: QuantAlgo,
+           backend: Optional[str] = None) -> jax.Array:
+    """Apply a (possibly quantized) linear. x: (..., in) -> (..., out)."""
+    backend = backend or default_backend()
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+
+    if algo == QuantAlgo.NONE:
+        w = params["w"]
+        out = jnp.dot(x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    elif algo.is_weight_only:
+        qw = _unpacked_qweight(params)
+        if backend == "pallas":
+            from . import wo_matmul as wk
+            out = wk.wo_matmul(x2, qw, params["scale_col"], out_dtype=x.dtype)
+        else:
+            out = ref.wo_matmul(x2, qw, params["scale_col"], out_dtype=x.dtype)
+    elif algo.is_mix:
+        qw = _unpacked_qweight(params)
+        if backend == "pallas":
+            from . import mixed_matmul as mk
+            out = mk.mix_linear(x2, qw, params["scale_col"], params["fp_ind"],
+                                params["fp_weight"], out_dtype=x.dtype)
+        else:
+            out = ref.mix_linear(x2, qw, params["scale_col"], params["fp_ind"],
+                                 params["fp_weight"], out_dtype=x.dtype)
+    else:
+        raise ValueError(f"unknown algo {algo}")
+
+    return _maybe_bias(out, params).reshape(*lead, -1)
+
+
+def _unpacked_qweight(params: dict) -> jax.Array:
+    if "qweight_packed" in params:
+        return qcore.unpack_int4(params["qweight_packed"])
+    return params["qweight"]
+
+
+def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
+                           act_scale: Optional[jax.Array] = None,
+                           num_outliers: int = 128,
+                           bias: Optional[jax.Array] = None,
+                           pack: bool = False) -> dict:
+    """Build the params dict for one linear from a float weight (in, out)."""
+    out: dict = {}
+    if algo == QuantAlgo.NONE:
+        out["w"] = w.astype(jnp.bfloat16)
+    elif algo == QuantAlgo.W8A16:
+        q, s = qcore.quantize_weight_int8(w)
+        out["qweight"], out["scale_col"] = q, s.astype(jnp.float32)
+    elif algo == QuantAlgo.W4A16:
+        q, s = qcore.quantize_weight_int4(w)
+        if pack:
+            out["qweight_packed"] = qcore.pack_int4(q)
+        else:
+            out["qweight"] = q
+        out["scale_col"] = s.astype(jnp.float32)
+    elif algo.is_mix:
+        assert act_scale is not None, "mix quantization needs calibrated act_scale"
+        art = qcore.make_mix_artifact(w, act_scale, num_outliers,
+                                      bits=algo.weight_bits)
+        if algo == QuantAlgo.INT4_MIX and pack:
+            out["qweight_packed"] = qcore.pack_int4(art.qweight)
+        else:
+            out["qweight"] = art.qweight
+        out["scale_col"] = art.scale_col
+        out["fp_ind"] = art.fp_ind
+        out["fp_weight"] = art.fp_weight
+    else:
+        raise ValueError(f"unknown algo {algo}")
+    if bias is not None:
+        out["b"] = bias.astype(jnp.bfloat16)
+    return out
