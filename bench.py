@@ -1,0 +1,135 @@
+"""Headline benchmark: Llama-2-7B-geometry int8_mix prefill throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+The workload mirrors the reference's headline (WikiText-2 PPL-eval
+throughput at batch 32 on Llama-2-7B, README.md:7-30 — a prefill-dominated
+job). `vs_baseline` is the speedup over bf16 on the same chip; the driver
+north-star is >=2x (BASELINE.md). The bf16 baseline model does not fit in
+16 GB HBM at 7B, so it is measured on a half-depth model and scaled by
+layer count (per-layer cost is uniform; noted in stderr).
+
+Timing note: the axon relay is fully asynchronous (block_until_ready does
+not wait for remote execution and host readback costs ~45 ms RTT), so each
+measurement chains K dependent steps on device and syncs once with a scalar
+readback; RTT is measured separately and subtracted.
+
+Env knobs: MIXQ_BENCH_TINY=1 (CI smoke), MIXQ_BENCH_BS, MIXQ_BENCH_SEQ,
+MIXQ_BENCH_ITERS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_rtt():
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def build(cfg_kw, quant, batch, seq):
+    from mixq_tensorrt_llm_tpu.models import (ModelConfig, init_kv_cache,
+                                              forward, llama as mllama)
+    cfg = ModelConfig(**cfg_kw, quant=quant)
+    t0 = time.time()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    params = jax.tree.map(jax.device_put, params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0,
+                                cfg.vocab_size, dtype=jnp.int32)
+    pos = jnp.tile(jnp.arange(seq, dtype=jnp.int32), (batch, 1))
+    lens = jnp.full((batch,), seq, jnp.int32)
+    cache = init_kv_cache(cfg, batch, seq)
+    log(f"  inputs staged in {time.time() - t0:.1f}s")
+
+    def step(params, tokens, pos, cache, lens, acc):
+        logits, new_cache = forward(params, cfg, tokens, pos, cache, lens)
+        # reduce to a scalar so full logits never round-trip to host; feed
+        # the cache forward so chained steps have a data dependence
+        return jax.nn.logsumexp(logits, axis=-1).sum() + acc, new_cache
+
+    fn = jax.jit(step, donate_argnums=(3, 5))
+    return fn, params, tokens, pos, cache, lens
+
+
+def timeit(fn, params, tokens, pos, cache, lens, iters):
+    acc = jnp.float32(0.0)
+    t0 = time.time()
+    acc, cache = fn(params, tokens, pos, cache, lens, acc)
+    float(acc)  # full sync: compile + first run + readback
+    log(f"  compile+first run {time.time() - t0:.1f}s")
+
+    rtt = measure_rtt()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc, cache = fn(params, tokens, pos, cache, lens, acc)
+    float(acc)  # one sync for the whole chain
+    total = time.perf_counter() - t0 - rtt
+    return total / iters
+
+
+def main():
+    from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
+                                             KVCacheQuantAlgo)
+
+    tiny = os.environ.get("MIXQ_BENCH_TINY") == "1"
+    iters = int(os.environ.get("MIXQ_BENCH_ITERS", "8"))
+    if tiny:
+        cfg_kw = dict(vocab_size=1024, hidden_size=256, intermediate_size=512,
+                      num_layers=4, num_heads=8, num_kv_heads=8, head_dim=32)
+        batch, seq = 4, 64
+        baseline_layers = 2
+        name = "tiny_int8mix_prefill"
+    else:
+        cfg_kw = dict(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=11008, num_layers=32, num_heads=32,
+                      num_kv_heads=32, head_dim=128)
+        batch = int(os.environ.get("MIXQ_BENCH_BS", "16"))
+        seq = int(os.environ.get("MIXQ_BENCH_SEQ", "512"))
+        baseline_layers = 8
+        name = "llama2_7b_int8mix_prefill"
+
+    mix = QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=128,
+                      kv_cache=KVCacheQuantAlgo.INT8)
+    log(f"[bench] int8_mix model bs={batch} seq={seq} "
+        f"({jax.devices()[0].platform})")
+    handles = build(cfg_kw, mix, batch, seq)
+    t_mix = timeit(*handles, iters)
+    tok_s = batch * seq / t_mix
+    log(f"[bench] int8_mix: {t_mix * 1e3:.1f} ms/step -> {tok_s:,.0f} tok/s")
+    del handles
+
+    bl_kw = dict(cfg_kw, num_layers=baseline_layers)
+    log(f"[bench] bf16 baseline ({baseline_layers} layers, scaled)")
+    handles = build(bl_kw, QuantConfig(), batch, seq)
+    t_bf16 = timeit(*handles, iters) * (cfg_kw["num_layers"] / baseline_layers)
+    bf16_tok_s = batch * seq / t_bf16
+    log(f"[bench] bf16 (scaled): {t_bf16 * 1e3:.1f} ms/step -> "
+        f"{bf16_tok_s:,.0f} tok/s")
+
+    print(json.dumps({
+        "metric": name,
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / bf16_tok_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

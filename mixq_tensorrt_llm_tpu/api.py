@@ -1,0 +1,124 @@
+"""High-level LLM API: one-liner load/quantize/generate.
+
+Mirrors the reference hlapi LLM surface (tensorrt_llm/hlapi/llm.py — LLM()
+auto-quantize/build/cache then .generate(); SURVEY T11) without the engine
+step: "build" is jit, the compile cache is XLA's, and the quantize step
+produces our checkpoint directory (cached alongside the model or in
+~/.cache/mixq_tpu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .quant.config import QuantAlgo, QuantConfig, KVCacheQuantAlgo
+from .runtime.sampler import SamplingConfig
+from .runtime.session import GenerationSession, GenerationOutput
+
+
+def _is_our_checkpoint(path: str) -> bool:
+    cfg = os.path.join(path, "config.json")
+    if not os.path.exists(cfg):
+        return False
+    with open(cfg) as f:
+        d = json.load(f)
+    return "quant" in d and "arch" in d
+
+
+@dataclasses.dataclass
+class LLM:
+    """llm = LLM("/path/to/hf-or-ckpt", quant="int8_mix"); llm.generate(...)"""
+
+    model: str
+    quant: Union[str, QuantConfig, None] = None
+    kv_cache_quant: str = "none"
+    max_seq_len: int = 2048
+    act_scales_path: Optional[str] = None
+    cache_dir: Optional[str] = None
+    tokenizer: Optional[object] = None
+
+    def __post_init__(self):
+        if isinstance(self.quant, str):
+            self.quant = QuantConfig(
+                algo=QuantAlgo(self.quant),
+                kv_cache=KVCacheQuantAlgo(self.kv_cache_quant))
+        from .convert.checkpoint import load_checkpoint
+
+        if _is_our_checkpoint(self.model):
+            ckpt_dir = self.model
+        else:
+            ckpt_dir = self._ensure_quantized(self.model)
+        self.params, self.cfg = load_checkpoint(ckpt_dir)
+        self._ckpt_dir = ckpt_dir
+        if self.tokenizer is None:
+            self.tokenizer = self._load_tokenizer()
+        self.session = GenerationSession(self.params, self.cfg,
+                                         max_seq_len=self.max_seq_len)
+
+    def _ensure_quantized(self, hf_dir: str) -> str:
+        from .convert.hf import quantize_hf_model
+
+        quant = self.quant or QuantConfig()
+        key = hashlib.sha1(
+            f"{os.path.abspath(hf_dir)}|{quant.to_json()}".encode()
+        ).hexdigest()[:12]
+        base = self.cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "mixq_tpu")
+        out = os.path.join(base, key)
+        if not os.path.exists(os.path.join(out, "model.safetensors")):
+            quantize_hf_model(hf_dir, out, quant,
+                              act_scales_path=self.act_scales_path)
+        return out
+
+    def _load_tokenizer(self):
+        for path in (self.model, self._ckpt_dir):
+            try:
+                from transformers import AutoTokenizer
+                return AutoTokenizer.from_pretrained(path)
+            except Exception:
+                continue
+        return None
+
+    # ------------------------------------------------------------------
+    def generate(self, prompts: Union[str, Sequence[str]],
+                 max_new_tokens: int = 64,
+                 sampling: SamplingConfig = SamplingConfig(),
+                 seed: int = 0) -> List[str]:
+        """Text in, text out."""
+        assert self.tokenizer is not None, \
+            "no tokenizer found; pass tokenizer= or use generate_tokens()"
+        single = isinstance(prompts, str)
+        if single:
+            prompts = [prompts]
+        token_lists = [self.tokenizer(p)["input_ids"] for p in prompts]
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        out = self.session.generate(token_lists, max_new_tokens,
+                                    sampling=sampling, eos_token_id=eos,
+                                    seed=seed)
+        texts = [self.tokenizer.decode(seq[len(tl):],
+                                       skip_special_tokens=True)
+                 for seq, tl in zip(out.sequences, token_lists)]
+        return texts[0] if single else texts
+
+    def generate_tokens(self, prompts: Sequence[Sequence[int]],
+                        max_new_tokens: int = 64,
+                        sampling: SamplingConfig = SamplingConfig(),
+                        eos_token_id: Optional[int] = None,
+                        seed: int = 0) -> GenerationOutput:
+        """Token-id in, GenerationOutput out."""
+        return self.session.generate(list(prompts), max_new_tokens,
+                                     sampling=sampling,
+                                     eos_token_id=eos_token_id, seed=seed)
+
+    def evaluate_ppl(self, token_stream: Sequence[int], seq_len: int = 512,
+                     batch_size: int = 8, max_blocks: Optional[int] = None):
+        from .eval.ppl import evaluate_ppl
+        return evaluate_ppl(self.params, self.cfg, token_stream,
+                            seq_len=seq_len, batch_size=batch_size,
+                            max_blocks=max_blocks)

@@ -1,0 +1,132 @@
+"""Command-line entry points: quantize / generate / eval-ppl.
+
+Mirrors the reference's script surface (quantize.py flags SURVEY §5 config
+system; run.py generation CLI; evalppl.py / summarize.py eval CLIs) as one
+`python -m mixq_tensorrt_llm_tpu.cli <cmd>` tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_quantize(sub):
+    p = sub.add_parser("quantize", help="HF model dir -> quantized checkpoint")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--qformat", default="int8_mix",
+                   choices=["none", "w8a16", "w4a16", "int8_mix", "int4_mix"])
+    p.add_argument("--kv_cache_dtype", default="none",
+                   choices=["none", "int8"])
+    p.add_argument("--num_outliers", type=int, default=128)
+    p.add_argument("--act_scales", default=None,
+                   help=".pt/.npz act_scales artifact (reference-compatible)")
+    p.add_argument("--calib_file", default=None,
+                   help="text file for in-graph calibration")
+    p.add_argument("--calib_samples", type=int, default=32)
+    p.add_argument("--calib_seq_len", type=int, default=512)
+    return p
+
+
+def _cmd_quantize(args):
+    from .convert.hf import quantize_hf_model
+    from .quant.config import QuantAlgo, QuantConfig, KVCacheQuantAlgo
+
+    quant = QuantConfig(algo=QuantAlgo(args.qformat),
+                        kv_cache=KVCacheQuantAlgo(args.kv_cache_dtype),
+                        num_outliers=args.num_outliers)
+    calib_batches = None
+    if args.calib_file and quant.algo.is_mix and not args.act_scales:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.model_dir)
+        text = open(args.calib_file).read()
+        ids = tok(text, add_special_tokens=False)["input_ids"]
+        n = args.calib_seq_len
+        blocks = [ids[i * n:(i + 1) * n] for i in range(args.calib_samples)
+                  if len(ids) >= (i + 1) * n]
+        calib_batches = [np.asarray(b, np.int32)[None] for b in blocks]
+    cfg = quantize_hf_model(args.model_dir, args.output_dir, quant,
+                            act_scales_path=args.act_scales,
+                            calib_batches=calib_batches)
+    print(f"wrote {args.output_dir} ({cfg.arch}, {cfg.num_layers} layers, "
+          f"{quant.algo.value})")
+
+
+def _add_generate(sub):
+    p = sub.add_parser("generate", help="generate text from a checkpoint")
+    p.add_argument("--model", required=True,
+                   help="checkpoint dir or HF dir (auto-quantized)")
+    p.add_argument("--quant", default=None)
+    p.add_argument("--prompt", action="append", required=True)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _cmd_generate(args):
+    from .api import LLM
+    from .runtime.sampler import SamplingConfig
+
+    llm = LLM(args.model, quant=args.quant, max_seq_len=args.max_seq_len)
+    sampling = SamplingConfig(greedy=args.temperature == 0.0,
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
+    outs = llm.generate(list(args.prompt),
+                        max_new_tokens=args.max_new_tokens,
+                        sampling=sampling, seed=args.seed)
+    for prompt, text in zip(args.prompt, outs):
+        print(f"--- prompt: {prompt!r}")
+        print(text)
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval-ppl", help="block perplexity on a text file")
+    p.add_argument("--model", required=True)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--text_file", required=True)
+    p.add_argument("--seq_len", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_blocks", type=int, default=None)
+    return p
+
+
+def _cmd_eval(args):
+    from .api import LLM
+
+    llm = LLM(args.model, quant=args.quant,
+              max_seq_len=max(args.seq_len, 512))
+    text = open(args.text_file).read()
+    ids = llm.tokenizer(text, add_special_tokens=False)["input_ids"]
+    res = llm.evaluate_ppl(ids, seq_len=args.seq_len,
+                           batch_size=args.batch_size,
+                           max_blocks=args.max_blocks)
+    print(json.dumps({
+        "ppl": round(res.ppl, 4), "blocks": res.blocks,
+        "tokens": res.total_tokens,
+        "blocks_per_s": round(res.blocks_per_s, 2),
+        "tokens_per_s": round(res.tokens_per_s, 1),
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mixq-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_quantize(sub)
+    _add_generate(sub)
+    _add_eval(sub)
+    args = parser.parse_args(argv)
+    {"quantize": _cmd_quantize,
+     "generate": _cmd_generate,
+     "eval-ppl": _cmd_eval}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,15 +179,33 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     return out, new_cache
 
 
-def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
-                  sin, cos, layer_cache, write_pos, kv_valid_len):
-    """One pre-norm decoder block. x: (B, S, hidden)."""
-    b, s, _ = x.shape
+def _absmax_in(x: jax.Array) -> jax.Array:
+    """Per-input-channel activation absmax over all leading dims (f32)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)),
+                   axis=tuple(range(x.ndim - 1)))
 
-    # --- attention ---
-    h = ops_ref.rmsnorm(x, layer_params["input_norm"]["w"], cfg.rms_norm_eps)
-    qkv = dispatch.linear(layer_params["qkv_proj"], h,
-                          cfg.module_algo("qkv_proj"))
+
+def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
+                  sin, cos, layer_cache, write_pos, kv_valid_len,
+                  collect_stats: bool = False):
+    """One pre-norm decoder block. x: (B, S, hidden).
+
+    With collect_stats=True also returns per-linear input-channel absmax
+    (the act_scales calibration signal, reference
+    smooth_quant_get_act.py:13-50 — implemented in-graph instead of via
+    torch forward hooks)."""
+    b, s, _ = x.shape
+    stats = {}
+
+    # --- attention --- (norm fused into the quantized qkv GEMM when mix)
+    if collect_stats:
+        h_in = ops_ref.rmsnorm(x, layer_params["input_norm"]["w"],
+                               cfg.rms_norm_eps)
+        stats["qkv_proj"] = _absmax_in(h_in)
+    qkv = dispatch.norm_linear(layer_params["qkv_proj"], x,
+                               cfg.module_algo("qkv_proj"),
+                               layer_params["input_norm"]["w"],
+                               eps=cfg.rms_norm_eps)
     q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -197,32 +215,45 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
                                             write_pos, kv_valid_len)
     attn = attn.reshape(b, s, cfg.q_size)
+    if collect_stats:
+        stats["o_proj"] = _absmax_in(attn)
     attn = dispatch.linear(layer_params["o_proj"], attn,
                            cfg.module_algo("o_proj"))
     x = x + attn.astype(x.dtype)
 
-    # --- mlp (SwiGLU, fused gate_up GEMM) ---
-    h = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"], cfg.rms_norm_eps)
-    gate_up = dispatch.linear(layer_params["gate_up_proj"], h,
-                              cfg.module_algo("gate_up_proj"))
+    # --- mlp (SwiGLU, fused gate_up GEMM, norm fused when mix) ---
+    if collect_stats:
+        h_in = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
+                               cfg.rms_norm_eps)
+        stats["gate_up_proj"] = _absmax_in(h_in)
+    gate_up = dispatch.norm_linear(layer_params["gate_up_proj"], x,
+                                   cfg.module_algo("gate_up_proj"),
+                                   layer_params["post_norm"]["w"],
+                                   eps=cfg.rms_norm_eps)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     h = (jax.nn.silu(gate.astype(jnp.float32)) *
          up.astype(jnp.float32)).astype(x.dtype)
+    if collect_stats:
+        stats["down_proj"] = _absmax_in(h)
     h = dispatch.linear(layer_params["down_proj"], h,
                         cfg.module_algo("down_proj"))
-    return x + h.astype(x.dtype), new_cache
+    out = x + h.astype(x.dtype)
+    if collect_stats:
+        return out, new_cache, stats
+    return out, new_cache
 
 
 def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
-            write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array
-            ) -> Tuple[jax.Array, KVCache]:
+            write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array,
+            collect_stats: bool = False):
     """Full decoder forward.
 
     tokens:       (B, S) int32
     write_pos:    (B, S) absolute position of each token (rope + cache slot)
     cache:        KVCache with layers stacked on axis 0
     kv_valid_len: (B,) valid kv length after this call's writes
-    Returns (logits (B, S, vocab) float32, updated cache).
+    Returns (logits (B, S, vocab) float32, updated cache) — plus a stacked
+    per-layer act-stats dict when collect_stats=True.
     """
     x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
     sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
@@ -233,12 +264,21 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
 
     def body(x, per_layer):
         layer_params, layer_cache = per_layer
-        x, new_cache = decoder_layer(cfg, layer_params, x, sin, cos,
-                                     layer_cache, write_pos, kv_valid_len)
+        res = decoder_layer(cfg, layer_params, x, sin, cos,
+                            layer_cache, write_pos, kv_valid_len,
+                            collect_stats=collect_stats)
+        if collect_stats:
+            x, new_cache, stats = res
+            return x, (new_cache, stats)
+        x, new_cache = res
         return x, new_cache
 
-    x, new_caches = jax.lax.scan(body, x,
-                                 (params["layers"], layer_cache_struct))
+    x, scan_out = jax.lax.scan(body, x,
+                               (params["layers"], layer_cache_struct))
+    if collect_stats:
+        new_caches, stats = scan_out
+    else:
+        new_caches, stats = scan_out, None
     x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
 
     lm_head = params.get("lm_head")
@@ -254,4 +294,6 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         k=new_caches["k"], v=new_caches["v"],
         k_scale=new_caches.get("k_scale"), v_scale=new_caches.get("v_scale"),
     )
+    if collect_stats:
+        return logits.astype(jnp.float32), new_cache, stats
     return logits.astype(jnp.float32), new_cache

@@ -42,7 +42,18 @@ def default_backend() -> str:
         platform = jax.devices()[0].platform
     except RuntimeError:
         platform = "cpu"
-    return "pallas" if platform in ("tpu", "axon") else "ref"
+    if platform in ("tpu", "axon") and _pallas_available():
+        return "pallas"
+    return "ref"
+
+
+@functools.cache
+def _pallas_available() -> bool:
+    try:
+        from . import mixed_matmul, wo_matmul  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
 
 def _maybe_bias(out: jax.Array, params: dict) -> jax.Array:
@@ -50,6 +61,32 @@ def _maybe_bias(out: jax.Array, params: dict) -> jax.Array:
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def norm_linear(params: dict, x: jax.Array, algo: QuantAlgo,
+                norm_w: jax.Array, eps: float = 1e-6,
+                backend: Optional[str] = None) -> jax.Array:
+    """RMSNorm -> linear, fused into one kernel pass on the mix path.
+
+    This is the reference's FasterTransformerRMSNorm + MixLinear pairing
+    (MixQ fused/norm.py:6-39 keyed on next_layer.ind): on TPU the fused
+    Pallas rmsnorm_quant_split feeds the mixed GEMM directly, so the normed
+    activations never round-trip to HBM in bf16.
+    """
+    backend = backend or default_backend()
+    if algo.is_mix and backend == "pallas":
+        from . import norm_quant as nq
+        from . import mixed_matmul as mk
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        q_x, srow, xout = nq.rmsnorm_quant_split(x2, norm_w, params["fp_ind"],
+                                                 eps=eps)
+        out = mk.mixed_matmul(q_x, srow, xout, _unpacked_qweight(params),
+                              params["scale_col"], params["fp_weight"],
+                              out_dtype=x.dtype)
+        return _maybe_bias(out, params).reshape(*lead, -1)
+    h = ref.rmsnorm(x, norm_w, eps)
+    return linear(params, h, algo, backend)
 
 
 def linear(params: dict, x: jax.Array, algo: QuantAlgo,

@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: weight-only W8A16/W4A16 matmul with in-VMEM dequant.
+
+Replaces the reference's fpA_intB CUTLASS GEMM + weightOnlyBatchedGemv decode
+kernels (weightonlykernel/fpA_intB_gemm_wrapper.cu:28-66, kernel.h Bs1-4)
+and the EETQ cutlass_preprocessors weight interleaving: on TPU no special
+interleave is needed — int8 weights are stored (K, N) and dequantized to
+bf16 inside VMEM, so HBM reads stay 1 byte/weight. The decode regime (M<=4)
+is the same kernel with a small M tile: it is HBM-bandwidth-bound either
+way, and the M<=4 / M>4 dispatch heuristic of the reference collapses into
+block-shape selection at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._util import (round_up as _round_up, pick_block as _pick_block,
+                    resolve_interpret)
+
+
+def _wo_kernel(x_ref, qw_ref, scol_ref, out_ref, acc_ref, *, n_k_steps):
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = qw_ref[:].astype(jnp.bfloat16)      # int8 -> bf16 in VMEM
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * scol_ref[:].astype(jnp.float32)
+                      ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "block_m", "block_n", "block_k"))
+def wo_matmul(x, qweight, scale_col, out_dtype=jnp.bfloat16,
+              interpret=None, block_m: int = 256,
+              block_n: int = 512, block_k: int = 1024):
+    """x (M,K) bf16; qweight (K,N) int8 (int4 values ok); scale_col (N,) f32
+    -> (M,N). K, N multiples of 128; M padded internally."""
+    interpret = resolve_interpret(interpret)
+    m, k = x.shape
+    n = qweight.shape[1]
+    assert k % 128 == 0 and n % 128 == 0, (k, n)
+
+    bm = min(block_m, _round_up(m, 16))   # decode: tiny M tiles are fine
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(k, block_k)
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    n_k_steps = k // bk
+    grid = (m_pad // bm, n // bn, n_k_steps)
+
+    out = pl.pallas_call(
+        functools.partial(_wo_kernel, n_k_steps=n_k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),
+            pl.BlockSpec((bk, bn), lambda i, j, s: (s, j)),
+            pl.BlockSpec((1, bn), lambda i, j, s: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2 + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), qweight, scale_col[None, :])
+    return out[:m]
+
+

@@ -1,0 +1,85 @@
+"""Param / activation PartitionSpecs for the decoder pytree.
+
+Replaces the reference's per-layer TP plumbing (ColumnLinear/RowLinear with
+explicit allreduce, tensorrt_llm/layers/linear.py; MixQLinear tp_group
+allreduce plugin.py:157-159) and its auto_parallel ILP solver (SURVEY T14):
+we annotate weight shardings once and let GSPMD propagate and insert the
+collectives (psum after row-parallel contractions falls out automatically).
+
+Column-parallel (out-dim on 'tp'): qkv_proj, gate_up_proj, lm_head.
+Row-parallel   (in-dim on 'tp'):  o_proj, down_proj.
+Outlier tensors: fp_weight follows its linear's out/in sharding; fp_ind is
+replicated (128 ints). Norms and scales are tiny -> replicated where their
+dim is not already sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# per-module specs for the *trailing* dims of each tensor; the stacked layer
+# axis (leading L) is mapped to 'pp' so pipeline stages own their layers.
+_COL = {   # out-dim sharded on tp
+    "qweight": P(None, "tp"), "qweight_packed": P(None, "tp"),
+    "scale_col": P("tp"), "fp_ind": P(None), "fp_weight": P(None, "tp"),
+    "w": P(None, "tp"), "b": P("tp"),
+}
+_ROW = {   # in-dim sharded on tp; fp_weight rows (outlier in-channels) local
+    "qweight": P("tp", None), "qweight_packed": P("tp", None),
+    "scale_col": P(None), "fp_ind": P(None), "fp_weight": P("tp", None),
+    "w": P("tp", None), "b": P(None),
+}
+_MODULE_KIND = {
+    "qkv_proj": _COL, "gate_up_proj": _COL,
+    "o_proj": _ROW, "down_proj": _ROW,
+}
+
+
+def _layer_spec(module: str, tensor: str) -> P:
+    spec = _MODULE_KIND[module][tensor]
+    return P("pp", *spec)   # prepend the stacked-layer axis
+
+
+def param_specs(params: Dict) -> Dict:
+    """PartitionSpec pytree matching the params pytree structure."""
+    specs: Dict = {
+        "embed": {"w": P("tp", None)},          # vocab-sharded embedding
+        "final_norm": {"w": P(None)},
+        "layers": {},
+    }
+    for module, tensors in params["layers"].items():
+        if module in _MODULE_KIND:
+            specs["layers"][module] = {
+                t: _layer_spec(module, t) for t in tensors}
+        else:  # norms
+            specs["layers"][module] = {t: P("pp", None) for t in tensors}
+    if "lm_head" in params:
+        specs["lm_head"] = {t: P(None, "tp") for t in params["lm_head"]}
+    return specs
+
+
+def shard_params(params: Dict, mesh: Mesh) -> Dict:
+    """Device_put the params pytree with its NamedShardings."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"))
+
+
+def token_spec() -> P:
+    return P("dp", None)
+
+
+def cache_spec(quantized: bool) -> Dict:
+    """KVCache field specs: (L, B, S, H, D) -> layers on pp, batch on dp,
+    kv heads on tp."""
+    kv = P("pp", "dp", None, "tp", None)
+    sc = P("pp", "dp", None, "tp")
+    out = {"k": kv, "v": kv}
+    if quantized:
+        out.update(k_scale=sc, v_scale=sc)
+    return out

@@ -214,8 +214,11 @@ class MixQLinearArtifact(NamedTuple):
 
 def make_mix_artifact(w: jax.Array, act_scale: jax.Array, num_outliers: int,
                       bits: int = 8) -> MixQLinearArtifact:
-    """Quantize one linear weight (in,out) into the MixQ artifact set."""
-    fp_ind = select_outliers(act_scale, num_outliers)
+    """Quantize one linear weight (in,out) into the MixQ artifact set.
+
+    num_outliers is clamped to in_features (tiny models in tests have fewer
+    channels than the production default of 128)."""
+    fp_ind = select_outliers(act_scale, min(num_outliers, w.shape[0]))
     fp_weight = split_outlier_weight(w, fp_ind)
     if bits == 8:
         qweight, scale = quantize_weight_int8(w)

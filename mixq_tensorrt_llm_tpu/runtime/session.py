@@ -1,0 +1,165 @@
+"""GenerationSession: jitted prefill/decode loop over the functional model.
+
+TPU-native replacement for the reference's GenerationSession / ModelRunner
+(tensorrt_llm/runtime/generation.py:2893 handle_per_step hot loop,
+model_runner.py). There is no engine: `jax.jit` with static shape buckets
+IS the engine build, and the XLA compile cache replaces the TRT timing
+cache. Decode steps run a single fused program per step with the cache
+donated, so the KV cache updates in place like the reference's ping-pong
+buffers (generation.py:3370) without the bookkeeping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import common as mcommon
+from ..models.common import KVCache, ModelConfig
+from .sampler import SamplingConfig, sample
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"sequence length {n} exceeds max bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    sequences: List[List[int]]          # prompt + generated, per sequence
+    num_prompt_tokens: List[int]
+    num_generated: List[int]
+    prefill_time_s: float = 0.0
+    decode_time_s: float = 0.0
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        n = sum(self.num_generated)
+        return n / self.decode_time_s if self.decode_time_s > 0 else 0.0
+
+
+class GenerationSession:
+    """Static-batch generation over jitted prefill/decode programs.
+
+    Shapes are bucketed (prompt length to powers of two, batch as given) so
+    each (batch, bucket) pair compiles once and is cached — the analogue of
+    the reference's dual optimization profiles (generation.py context/gen
+    profiles) without an engine step.
+    """
+
+    def __init__(self, params, cfg: ModelConfig, max_seq_len: int = 2048,
+                 prefill_buckets: Optional[Sequence[int]] = None):
+        self.params = params
+        self.cfg = cfg
+        self.max_seq_len = max_seq_len
+        self.prefill_buckets = tuple(
+            b for b in (prefill_buckets or
+                        (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192))
+            if b <= max_seq_len) or (max_seq_len,)
+
+        cfg_static = cfg
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill(params, tokens, cache, lens):
+            b, s = tokens.shape
+            pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+            logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
+                                            cache, lens)
+            # gather logits at each sequence's last valid position
+            last = jnp.take_along_axis(
+                logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
+            return last[:, 0], cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("sampling",))
+        def _decode(params, tokens, cache, lens, key, sampling):
+            b = tokens.shape[0]
+            pos = lens[:, None].astype(jnp.int32)
+            logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
+                                            cache, lens + 1)
+            next_tok = sample(logits[:, 0], key, sampling)
+            return next_tok, cache
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    def generate(self, prompts: Sequence[Sequence[int]], max_new_tokens: int,
+                 sampling: SamplingConfig = SamplingConfig(),
+                 eos_token_id: Optional[int] = None,
+                 seed: int = 0) -> GenerationOutput:
+        """Generate completions for a batch of token-id prompts."""
+        b = len(prompts)
+        lens_list = [len(p) for p in prompts]
+        max_prompt = max(lens_list)
+        if max_prompt + max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"prompt ({max_prompt}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds max_seq_len ({self.max_seq_len})")
+        bucket = _bucket(max_prompt, self.prefill_buckets)
+
+        tokens = np.zeros((b, bucket), np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, :len(p)] = p
+        lens = jnp.asarray(lens_list, jnp.int32)
+
+        cache = mcommon.init_kv_cache(self.cfg, b, self.max_seq_len)
+
+        t0 = time.perf_counter()
+        last_logits, cache = self._prefill(self.params, jnp.asarray(tokens),
+                                           cache, lens)
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        cur = sample(last_logits, sub, sampling)
+        cur.block_until_ready()
+        t1 = time.perf_counter()
+
+        generated = np.zeros((b, max_new_tokens), np.int32)
+        generated[:, 0] = np.asarray(cur)
+        finished = np.zeros((b,), bool)
+        if eos_token_id is not None:
+            finished |= generated[:, 0] == eos_token_id
+        cur_lens = lens
+
+        steps = 1
+        for step in range(1, max_new_tokens):
+            if finished.all():
+                break
+            key, sub = jax.random.split(key)
+            cur, cache = self._decode(self.params, cur[:, None], cache,
+                                      cur_lens, sub, sampling)
+            cur_lens = cur_lens + 1
+            generated[:, step] = np.asarray(cur)
+            if eos_token_id is not None:
+                finished |= generated[:, step] == eos_token_id
+            steps += 1
+        jax.block_until_ready(cur)
+        t2 = time.perf_counter()
+
+        sequences, n_gen = [], []
+        for i, p in enumerate(prompts):
+            gen = generated[i, :steps].tolist()
+            if eos_token_id is not None and eos_token_id in gen:
+                gen = gen[:gen.index(eos_token_id) + 1]
+            sequences.append(list(p) + gen)
+            n_gen.append(len(gen))
+        return GenerationOutput(sequences, lens_list, n_gen,
+                                prefill_time_s=t1 - t0,
+                                decode_time_s=t2 - t1)
+
+    def score_logits(self, tokens: np.ndarray, lens: np.ndarray) -> jax.Array:
+        """Full-sequence logits for PPL evaluation. tokens (B,S) padded."""
+        b, s = tokens.shape
+        cache = mcommon.init_kv_cache(self.cfg, b, s)
+        pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+        logits, _ = mcommon.forward(self.params, self.cfg,
+                                    jnp.asarray(tokens), pos, cache,
+                                    jnp.asarray(lens, jnp.int32))
+        return logits
