@@ -179,6 +179,27 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     return out, new_cache
 
 
+def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
+                     block_table, write_pos, kv_valid_len):
+    """Paged-cache attention: scatter new kv into the block pool, attend
+    over the gathered pages. Shapes as in _attention_with_cache but the
+    cache is a (NB, BS, H, D) pool addressed via block_table (B, MB)."""
+    from ..runtime import kv_cache as pkv
+
+    quantized = "k_scale" in layer_caches
+    valid = write_pos < kv_valid_len[:, None]
+    new_caches = pkv.paged_write(layer_caches, block_table, write_pos,
+                                 new_k, new_v, quantized, valid=valid)
+    k_all, v_all = pkv.paged_gather(new_caches, block_table, cfg.dtype)
+    smax = k_all.shape[1]
+    kv_idx = jnp.arange(smax)
+    mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
+           (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
+    out = ops_ref.attention(q, k_all, v_all, mask=mask,
+                            scale=cfg.head_dim ** -0.5)
+    return out, new_caches
+
+
 def _absmax_in(x: jax.Array) -> jax.Array:
     """Per-input-channel activation absmax over all leading dims (f32)."""
     return jnp.max(jnp.abs(x.astype(jnp.float32)),
@@ -187,7 +208,7 @@ def _absmax_in(x: jax.Array) -> jax.Array:
 
 def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   sin, cos, layer_cache, write_pos, kv_valid_len,
-                  collect_stats: bool = False):
+                  collect_stats: bool = False, block_table=None):
     """One pre-norm decoder block. x: (B, S, hidden).
 
     With collect_stats=True also returns per-linear input-channel absmax
@@ -212,8 +233,13 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, sin, cos)
     k = apply_rope(k, sin, cos)
-    attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
-                                            write_pos, kv_valid_len)
+    if block_table is not None:
+        attn, new_cache = _attention_paged(cfg, q, k, v, layer_cache,
+                                           block_table, write_pos,
+                                           kv_valid_len)
+    else:
+        attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
+                                                write_pos, kv_valid_len)
     attn = attn.reshape(b, s, cfg.q_size)
     if collect_stats:
         stats["o_proj"] = _absmax_in(attn)
@@ -297,3 +323,46 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     if collect_stats:
         return logits.astype(jnp.float32), new_cache, stats
     return logits.astype(jnp.float32), new_cache
+
+
+def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
+                  write_pos: jax.Array, paged_state, block_table: jax.Array,
+                  kv_valid_len: jax.Array):
+    """Decoder forward over the paged KV pool (continuous-batching path).
+
+    paged_state: runtime.kv_cache.PagedKVState (layers stacked on axis 0)
+    block_table: (B, max_blocks_per_seq) int32 page lists
+    Returns (logits, updated PagedKVState).
+    """
+    from ..runtime.kv_cache import PagedKVState
+
+    x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
+    sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
+
+    layer_cache_struct = {"k": paged_state.k, "v": paged_state.v}
+    if paged_state.quantized:
+        layer_cache_struct.update(k_scale=paged_state.k_scale,
+                                  v_scale=paged_state.v_scale)
+
+    def body(x, per_layer):
+        layer_params, layer_cache = per_layer
+        x, new_cache = decoder_layer(cfg, layer_params, x, sin, cos,
+                                     layer_cache, write_pos, kv_valid_len,
+                                     block_table=block_table)
+        return x, new_cache
+
+    x, new_caches = jax.lax.scan(body, x,
+                                 (params["layers"], layer_cache_struct))
+    x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x.astype(jnp.bfloat16),
+                         params["embed"]["w"].T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
+    new_state = PagedKVState(
+        k=new_caches["k"], v=new_caches["v"],
+        k_scale=new_caches.get("k_scale"),
+        v_scale=new_caches.get("v_scale"))
+    return logits.astype(jnp.float32), new_state

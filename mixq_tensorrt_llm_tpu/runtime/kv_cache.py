@@ -1,0 +1,221 @@
+"""Paged KV cache: block pool + block tables, host-side block manager.
+
+TPU-native re-design of the reference's paged KV stack
+(tensorrt_llm/runtime/kv_cache_manager.py — BlocksManager ref-counted pages
+:66-244, KVCacheManager sliding/sink windows :246-378): device state is a
+fixed block pool (L, num_blocks, block_size, Hkv, D) addressed through
+int32 block tables (per-sequence page lists), so variable-length sequences
+live in static shapes and the decode step stays a single compiled program.
+The free-list/refcount logic is host-side Python exactly like the
+reference's (it is control plane, not data plane).
+
+Sliding-window + sink ("StreamingLLM", reference plugin.py:172 +
+kv_cache_manager.py:289-330) maps to block-table surgery: when a sequence
+exceeds the window, the oldest non-sink block is recycled in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.common import ModelConfig
+from ..quant.config import KVCacheQuantAlgo
+from ..quant import core as qcore
+
+
+class PagedKVState(NamedTuple):
+    """Device-side pool. int8 mode carries per-entry scales."""
+
+    k: jax.Array            # (L, num_blocks, block_size, Hkv, D)
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None   # (L, num_blocks, block_size, Hkv)
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def block_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k.shape[1]
+
+
+def init_paged_kv(cfg: ModelConfig, num_blocks: int,
+                  block_size: int = 64) -> PagedKVState:
+    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads,
+             cfg.head_dim)
+    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+        return PagedKVState(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(shape[:-1], jnp.float32),
+            v_scale=jnp.ones(shape[:-1], jnp.float32))
+    return PagedKVState(k=jnp.zeros(shape, cfg.dtype),
+                        v=jnp.zeros(shape, cfg.dtype))
+
+
+@dataclasses.dataclass
+class SequenceBlocks:
+    seq_id: int
+    blocks: List[int]
+    length: int = 0        # tokens currently stored
+
+
+class BlockManager:
+    """Host-side free list + per-sequence block accounting.
+
+    Mirrors the reference BlocksManager (kv_cache_manager.py:66-244) minus
+    beam-width sharing (beams arrive with beam search); ref counts are kept
+    so prefix sharing can reuse blocks later.
+    """
+
+    def __init__(self, num_blocks: int, block_size: int,
+                 sink_blocks: int = 0, window_blocks: Optional[int] = None):
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        # block 0 is reserved as the trash block for masked padding writes
+        self.free: List[int] = list(range(1, num_blocks))
+        self.ref_counts = np.zeros((num_blocks,), np.int32)
+        self.seqs: Dict[int, SequenceBlocks] = {}
+        self.sink_blocks = sink_blocks
+        self.window_blocks = window_blocks   # max non-sink blocks per seq
+
+    # ------------------------------------------------------------------
+    def blocks_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.block_size)
+
+    def can_allocate(self, num_tokens: int) -> bool:
+        return len(self.free) >= self.blocks_needed(num_tokens)
+
+    def add_sequence(self, seq_id: int, num_tokens: int) -> SequenceBlocks:
+        assert seq_id not in self.seqs, f"sequence {seq_id} already active"
+        n = self.blocks_needed(max(num_tokens, 1))
+        if len(self.free) < n:
+            raise RuntimeError(
+                f"KV pool exhausted: need {n} blocks, have {len(self.free)}")
+        blocks = [self.free.pop() for _ in range(n)]
+        for b in blocks:
+            self.ref_counts[b] += 1
+        sb = SequenceBlocks(seq_id, blocks, num_tokens)
+        self.seqs[seq_id] = sb
+        return sb
+
+    def extend(self, seq_id: int, new_tokens: int = 1) -> SequenceBlocks:
+        """Grow a sequence; allocates (or recycles, when windowed) blocks."""
+        sb = self.seqs[seq_id]
+        target = sb.length + new_tokens
+        while len(sb.blocks) * self.block_size < target:
+            if self.window_blocks is not None and \
+                    len(sb.blocks) >= self.sink_blocks + self.window_blocks:
+                # sliding window: recycle the oldest non-sink block in place
+                blk = sb.blocks.pop(self.sink_blocks)
+                sb.blocks.append(blk)
+                # logical length stays capped; caller tracks absolute pos
+                sb.length = target
+                return sb
+            if not self.free:
+                raise RuntimeError("KV pool exhausted during decode")
+            blk = self.free.pop()
+            self.ref_counts[blk] += 1
+            sb.blocks.append(blk)
+        sb.length = target
+        return sb
+
+    def free_sequence(self, seq_id: int) -> None:
+        sb = self.seqs.pop(seq_id)
+        for b in sb.blocks:
+            self.ref_counts[b] -= 1
+            if self.ref_counts[b] == 0:
+                self.free.append(b)
+
+    def fork(self, src_seq_id: int, dst_seq_id: int) -> SequenceBlocks:
+        """Share all blocks (prefix sharing / beam fork); copy-on-write is
+        the caller's job when it writes into a shared tail block."""
+        src = self.seqs[src_seq_id]
+        for b in src.blocks:
+            self.ref_counts[b] += 1
+        sb = SequenceBlocks(dst_seq_id, list(src.blocks), src.length)
+        self.seqs[dst_seq_id] = sb
+        return sb
+
+    # ------------------------------------------------------------------
+    def block_table(self, seq_ids: List[int], max_blocks: int) -> np.ndarray:
+        """(len(seq_ids), max_blocks) int32, padded with 0 (never read
+        thanks to length masking)."""
+        out = np.zeros((len(seq_ids), max_blocks), np.int32)
+        for i, sid in enumerate(seq_ids):
+            blocks = self.seqs[sid].blocks
+            assert len(blocks) <= max_blocks, (len(blocks), max_blocks)
+            out[i, :len(blocks)] = blocks
+        return out
+
+    @property
+    def num_free(self) -> int:
+        return len(self.free)
+
+
+# ---------------------------------------------------------------------------
+# Device-side paged ops (jnp reference; Pallas paged attention later)
+# ---------------------------------------------------------------------------
+
+def paged_write(layer_caches, block_table: jax.Array,
+                write_pos: jax.Array, new_k: jax.Array, new_v: jax.Array,
+                quantized: bool, valid: Optional[jax.Array] = None):
+    """Scatter new kv at absolute positions into the pool (one layer view).
+
+    layer_caches: dict of this layer's pool slices {k (NB,BS,H,D), ...}
+    block_table:  (B, max_blocks) int32
+    write_pos:    (B, S) absolute token positions
+    new_k/new_v:  (B, S, H, D)
+    valid:        (B, S) bool; invalid (padding) writes are redirected to
+                  block 0, which BlockManager reserves as a trash block so
+                  padding can never corrupt another sequence's pages.
+    """
+    bs = layer_caches["k"].shape[1]
+    mb = block_table.shape[1]
+    blk_idx = jnp.clip(write_pos // bs, 0, mb - 1)
+    blk = jnp.take_along_axis(block_table, blk_idx, axis=1)  # (B,S)
+    off = write_pos % bs
+    if valid is not None:
+        blk = jnp.where(valid, blk, 0)
+    if quantized:
+        qk, sk = qcore.quantize_kv(new_k)
+        qv, sv = qcore.quantize_kv(new_v)
+        out = {
+            "k": layer_caches["k"].at[blk, off].set(qk),
+            "v": layer_caches["v"].at[blk, off].set(qv),
+            "k_scale": layer_caches["k_scale"].at[blk, off].set(sk),
+            "v_scale": layer_caches["v_scale"].at[blk, off].set(sv),
+        }
+    else:
+        out = {
+            "k": layer_caches["k"].at[blk, off].set(
+                new_k.astype(layer_caches["k"].dtype)),
+            "v": layer_caches["v"].at[blk, off].set(
+                new_v.astype(layer_caches["v"].dtype)),
+        }
+    return out
+
+
+def paged_gather(layer_caches, block_table: jax.Array, dtype):
+    """Materialize (B, max_blocks*BS, H, D) kv views for attention (jnp
+    reference path; the Pallas paged-attention kernel reads blocks in
+    place instead)."""
+    k = layer_caches["k"][block_table]   # (B, MB, BS, H, D)
+    v = layer_caches["v"][block_table]
+    b, mb, bs, h, d = k.shape
+    if "k_scale" in layer_caches:
+        k = qcore.dequantize_kv(k, layer_caches["k_scale"][block_table],
+                                dtype=dtype)
+        v = qcore.dequantize_kv(v, layer_caches["v_scale"][block_table],
+                                dtype=dtype)
+    return (k.reshape(b, mb * bs, h, d).astype(dtype),
+            v.reshape(b, mb * bs, h, d).astype(dtype))

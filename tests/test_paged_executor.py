@@ -1,0 +1,138 @@
+"""Paged KV cache + continuous-batching executor tests.
+
+Gold standard: the dense-cache GenerationSession. The paged executor must
+produce identical greedy tokens, across chunked prefill, ragged admission,
+and pool-pressure scenarios.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
+                                         KVCacheQuantAlgo)
+from mixq_tensorrt_llm_tpu.runtime import (BlockManager, Executor,
+                                           GenerationSession, SamplingConfig)
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                max_position_embeddings=256)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+class TestBlockManager:
+    def test_alloc_free_cycle(self):
+        bm = BlockManager(num_blocks=9, block_size=4)
+        assert bm.num_free == 8   # block 0 reserved as trash
+        sb = bm.add_sequence(0, 10)       # needs 3 blocks
+        assert len(sb.blocks) == 3 and bm.num_free == 5
+        assert 0 not in sb.blocks
+        bm.extend(0, 3)                    # 13 tokens -> 4 blocks
+        assert len(bm.seqs[0].blocks) == 4
+        bm.free_sequence(0)
+        assert bm.num_free == 8
+
+    def test_exhaustion_raises(self):
+        bm = BlockManager(num_blocks=3, block_size=4)
+        bm.add_sequence(0, 8)
+        with pytest.raises(RuntimeError, match="exhausted"):
+            bm.add_sequence(1, 4)
+
+    def test_fork_shares_refcounted(self):
+        bm = BlockManager(num_blocks=9, block_size=4)
+        bm.add_sequence(0, 8)
+        bm.fork(0, 1)
+        assert bm.seqs[0].blocks == bm.seqs[1].blocks
+        bm.free_sequence(0)
+        assert bm.num_free == 6    # still held by seq 1
+        bm.free_sequence(1)
+        assert bm.num_free == 8
+
+    def test_sliding_window_recycles(self):
+        bm = BlockManager(num_blocks=9, block_size=4, sink_blocks=1,
+                          window_blocks=2)
+        bm.add_sequence(0, 12)     # 3 blocks: 1 sink + 2 window
+        first_window_block = bm.seqs[0].blocks[1]
+        bm.extend(0, 4)            # beyond window -> recycle, no new alloc
+        assert len(bm.seqs[0].blocks) == 3
+        assert bm.seqs[0].blocks[-1] == first_window_block
+
+
+@pytest.fixture(scope="module")
+def quantized_model():
+    cfg = tiny_cfg(quant=QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=4,
+                                     kv_cache=KVCacheQuantAlgo.INT8))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+class TestExecutor:
+    def test_matches_dense_session_greedy(self, quantized_model):
+        params, cfg = quantized_model
+        session = GenerationSession(params, cfg, max_seq_len=64,
+                                    prefill_buckets=(16,))
+        prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [100, 101, 102, 103]]
+        want = session.generate(prompts, max_new_tokens=6).sequences
+
+        ex = Executor(params, cfg, max_batch=4, max_seq_len=64,
+                      block_size=8, prefill_chunk=16)
+        ids = [ex.submit(p, max_new_tokens=6) for p in prompts]
+        done = ex.run()
+        got = [done[i].sequence for i in ids]
+        assert got == want
+
+    def test_chunked_prefill_matches_single_shot(self, quantized_model):
+        params, cfg = quantized_model
+        prompt = list(range(1, 41))   # 40 tokens, chunk=16 -> 3 chunks
+        ex1 = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                       block_size=8, prefill_chunk=16)
+        ex2 = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                       block_size=8, prefill_chunk=64)
+        a = ex1.run() if not ex1.submit(prompt, 5) else ex1.run()
+        b = ex2.run() if not ex2.submit(prompt, 5) else ex2.run()
+        assert a[0].sequence == b[0].sequence
+
+    def test_continuous_admission_under_slot_pressure(self, quantized_model):
+        """More requests than slots: later requests join as earlier finish,
+        results must match isolated runs."""
+        params, cfg = quantized_model
+        session = GenerationSession(params, cfg, max_seq_len=64,
+                                    prefill_buckets=(16,))
+        prompts = [[i + 1, i + 2, i + 3] for i in range(0, 50, 10)]  # 5 reqs
+        want = [session.generate([p], max_new_tokens=4).sequences[0]
+                for p in prompts]
+
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                      block_size=8, prefill_chunk=16)
+        ids = [ex.submit(p, max_new_tokens=4) for p in prompts]
+        done = ex.run()
+        got = [done[i].sequence for i in ids]
+        assert got == want
+
+    def test_eos_finishes_early(self, quantized_model):
+        params, cfg = quantized_model
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                      block_size=8, prefill_chunk=16)
+        rid = ex.submit([1, 2, 3], max_new_tokens=8)
+        done = ex.run()
+        first = done[rid].generated[0]
+        ex2 = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                       block_size=8, prefill_chunk=16)
+        rid2 = ex2.submit([1, 2, 3], max_new_tokens=8, eos_token_id=first)
+        done2 = ex2.run()
+        assert done2[rid2].generated == [first]
+
+    def test_timing_fields_populated(self, quantized_model):
+        params, cfg = quantized_model
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                      block_size=8, prefill_chunk=16)
+        rid = ex.submit([1, 2, 3], max_new_tokens=3)
+        done = ex.run()
+        r = done[rid]
+        assert r.first_token_time is not None
+        assert r.finish_time >= r.first_token_time >= r.submit_time
