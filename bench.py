@@ -27,6 +27,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -59,7 +61,8 @@ def build(cfg_kw, quant, batch, seq):
     log(f"  inputs staged in {time.time() - t0:.1f}s")
 
     def step(params, tokens, pos, cache, lens, acc):
-        logits, new_cache = forward(params, cfg, tokens, pos, cache, lens)
+        logits, new_cache = forward(params, cfg, tokens, pos, cache, lens,
+                                    full_prefill=True)
         # reduce to a scalar so full logits never round-trip to host; feed
         # the cache forward so chained steps have a data dependence
         return jax.nn.logsumexp(logits, axis=-1).sum() + acc, new_cache
@@ -107,10 +110,18 @@ def main():
 
     mix = QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=128,
                       kv_cache=KVCacheQuantAlgo.INT8)
-    log(f"[bench] int8_mix model bs={batch} seq={seq} "
-        f"({jax.devices()[0].platform})")
-    handles = build(cfg_kw, mix, batch, seq)
-    t_mix = timeit(*handles, iters)
+    while True:
+        log(f"[bench] int8_mix model bs={batch} seq={seq} "
+            f"({jax.devices()[0].platform})")
+        try:
+            handles = build(cfg_kw, mix, batch, seq)
+            t_mix = timeit(*handles, iters)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or batch <= 2:
+                raise
+            batch //= 2
+            log(f"[bench] OOM; retrying with bs={batch}")
     tok_s = batch * seq / t_mix
     log(f"[bench] int8_mix: {t_mix * 1e3:.1f} ms/step -> {tok_s:,.0f} tok/s")
     del handles

@@ -47,7 +47,7 @@ def calibrate_act_scales(params_float: Dict, cfg: ModelConfig,
         cache = mcommon.init_kv_cache(cfg, b, s)
         pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
         _, _, stats = mcommon.forward(params, cfg, tokens, pos, cache, lens,
-                                      collect_stats=True)
+                                      collect_stats=True, full_prefill=True)
         return stats   # dict of (L, in) stacked absmax
 
     running: Optional[Dict[str, jnp.ndarray]] = None

@@ -48,7 +48,8 @@ def _nll_fn(cfg: ModelConfig):
         cache = mcommon.init_kv_cache(cfg, b, s)
         pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
         lens = jnp.full((b,), s, jnp.int32)
-        logits, _ = mcommon.forward(params, cfg, tokens, pos, cache, lens)
+        logits, _ = mcommon.forward(params, cfg, tokens, pos, cache, lens,
+                                    full_prefill=True)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

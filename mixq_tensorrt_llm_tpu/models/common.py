@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..quant.config import QuantAlgo, QuantConfig, KVCacheQuantAlgo
 from ..quant import core as qcore
 from ..ops import ref as ops_ref
+from ..ops import attention as ops_attn
 from ..ops import dispatch
 
 
@@ -141,13 +142,15 @@ def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
-                          write_pos, kv_valid_len):
+                          write_pos, kv_valid_len, full_prefill: bool = False):
     """Write new_k/new_v into this layer's cache at write_pos and attend.
 
     q/new_k/new_v: (B, S, H, D); layer_cache: dict with k/v (+scales) of
     shape (B, Smax, Hkv, D); write_pos: (B, S) absolute positions;
     kv_valid_len: (B,) number of valid kv entries AFTER this write.
-    Returns (attn_out (B,S,Hq,D), updated layer_cache dict).
+    full_prefill=True asserts the cache holds nothing before this write
+    (positions 0..S), letting attention run the flash kernel over the fresh
+    k/v instead of the cache. Returns (attn_out, updated layer_cache).
     """
     b, s = q.shape[0], q.shape[1]
     batch_idx = jnp.arange(b)[:, None]  # (B, 1) broadcasts with (B, S)
@@ -168,6 +171,11 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         cv = cv.at[batch_idx, write_pos].set(new_v.astype(cv.dtype))
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
+
+    if full_prefill:
+        out = ops_attn.causal_self_attention(q, new_k, new_v,
+                                             scale=cfg.head_dim ** -0.5)
+        return out, new_cache
 
     smax = k_all.shape[1]
     kv_idx = jnp.arange(smax)
@@ -208,7 +216,8 @@ def _absmax_in(x: jax.Array) -> jax.Array:
 
 def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   sin, cos, layer_cache, write_pos, kv_valid_len,
-                  collect_stats: bool = False, block_table=None):
+                  collect_stats: bool = False, block_table=None,
+                  full_prefill: bool = False):
     """One pre-norm decoder block. x: (B, S, hidden).
 
     With collect_stats=True also returns per-linear input-channel absmax
@@ -239,7 +248,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                                            kv_valid_len)
     else:
         attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
-                                                write_pos, kv_valid_len)
+                                                write_pos, kv_valid_len,
+                                                full_prefill=full_prefill)
     attn = attn.reshape(b, s, cfg.q_size)
     if collect_stats:
         stats["o_proj"] = _absmax_in(attn)
@@ -271,7 +281,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
 
 def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
             write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array,
-            collect_stats: bool = False):
+            collect_stats: bool = False, full_prefill: bool = False):
     """Full decoder forward.
 
     tokens:       (B, S) int32
@@ -292,7 +302,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         layer_params, layer_cache = per_layer
         res = decoder_layer(cfg, layer_params, x, sin, cos,
                             layer_cache, write_pos, kv_valid_len,
-                            collect_stats=collect_stats)
+                            collect_stats=collect_stats,
+                            full_prefill=full_prefill)
         if collect_stats:
             x, new_cache, stats = res
             return x, (new_cache, stats)

@@ -69,7 +69,11 @@ class Executor:
         self.max_blocks_per_seq = -(-max_seq_len // block_size)
         num_blocks = num_blocks or (max_batch * self.max_blocks_per_seq + 1)
         self.state: PagedKVState = init_paged_kv(cfg, num_blocks, block_size)
-        self.bm = BlockManager(num_blocks, block_size)
+        from .native import make_block_manager
+        import os as _os
+        self.bm = make_block_manager(
+            num_blocks, block_size,
+            prefer_native=_os.environ.get("MIXQ_NATIVE", "1") != "0")
         self.sampling = sampling
         self.key = jax.random.PRNGKey(seed)
 

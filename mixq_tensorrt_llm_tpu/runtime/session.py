@@ -72,7 +72,7 @@ class GenerationSession:
             b, s = tokens.shape
             pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
             logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
-                                            cache, lens)
+                                            cache, lens, full_prefill=True)
             # gather logits at each sequence's last valid position
             last = jnp.take_along_axis(
                 logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)

@@ -1,0 +1,208 @@
+// Native runtime core: paged-KV block manager (C ABI, loaded via ctypes).
+//
+// TPU-native counterpart of the reference's C++ executor internals
+// (tensorrt_llm C++ BlocksManager behind bindings/executor.pyi and
+// bin/executorWorker; Python mirror at runtime/kv_cache_manager.py:66-244).
+// The device data plane stays in XLA; this is the control plane that must
+// run in O(1)-ish time between decode steps at large batch: ref-counted
+// block pool, per-sequence page lists, sliding-window recycling, fork
+// (prefix sharing), and block-table serialization.
+//
+// Build: g++ -O2 -shared -fPIC -o libmixq_native.so mixq_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Sequence {
+  std::vector<int32_t> blocks;
+  int64_t length = 0;  // tokens stored
+};
+
+struct Manager {
+  int32_t num_blocks = 0;
+  int32_t block_size = 0;
+  int32_t sink_blocks = 0;
+  int32_t window_blocks = -1;  // -1: unbounded
+  std::vector<int32_t> free_list;
+  std::vector<int32_t> ref_counts;
+  std::unordered_map<int64_t, Sequence> seqs;
+};
+
+std::mutex g_mu;
+std::unordered_map<int64_t, Manager> g_managers;
+int64_t g_next_handle = 1;
+
+Manager* get(int64_t h) {
+  auto it = g_managers.find(h);
+  return it == g_managers.end() ? nullptr : &it->second;
+}
+
+int32_t blocks_needed(const Manager& m, int64_t tokens) {
+  return static_cast<int32_t>((tokens + m.block_size - 1) / m.block_size);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns a manager handle. Block 0 is reserved as the trash block for
+// masked padding writes (mirrors the Python BlockManager contract).
+int64_t mixq_bm_create(int32_t num_blocks, int32_t block_size,
+                       int32_t sink_blocks, int32_t window_blocks) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  int64_t h = g_next_handle++;
+  Manager& m = g_managers[h];
+  m.num_blocks = num_blocks;
+  m.block_size = block_size;
+  m.sink_blocks = sink_blocks;
+  m.window_blocks = window_blocks;
+  m.ref_counts.assign(num_blocks, 0);
+  // stack order matches the Python BlockManager (pop from the high end) so
+  // both implementations produce identical block tables
+  m.free_list.reserve(num_blocks - 1);
+  for (int32_t b = 1; b < num_blocks; ++b) m.free_list.push_back(b);
+  return h;
+}
+
+void mixq_bm_destroy(int64_t h) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  g_managers.erase(h);
+}
+
+int32_t mixq_bm_num_free(int64_t h) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  return m ? static_cast<int32_t>(m->free_list.size()) : -1;
+}
+
+int32_t mixq_bm_can_allocate(int64_t h, int64_t num_tokens) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return 0;
+  return m->free_list.size() >=
+                 static_cast<size_t>(blocks_needed(*m, num_tokens))
+             ? 1
+             : 0;
+}
+
+// 0 on success; -1 unknown handle; -2 seq exists; -3 pool exhausted.
+int32_t mixq_bm_add_sequence(int64_t h, int64_t seq_id, int64_t num_tokens) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  if (m->seqs.count(seq_id)) return -2;
+  int32_t need = blocks_needed(*m, num_tokens < 1 ? 1 : num_tokens);
+  if (m->free_list.size() < static_cast<size_t>(need)) return -3;
+  Sequence s;
+  s.length = num_tokens;
+  s.blocks.reserve(need);
+  for (int32_t i = 0; i < need; ++i) {
+    int32_t b = m->free_list.back();
+    m->free_list.pop_back();
+    m->ref_counts[b]++;
+    s.blocks.push_back(b);
+  }
+  m->seqs.emplace(seq_id, std::move(s));
+  return 0;
+}
+
+// Grow by new_tokens; recycles the oldest non-sink block when windowed.
+// 0 success; -1 unknown handle; -2 unknown seq; -3 exhausted.
+int32_t mixq_bm_extend(int64_t h, int64_t seq_id, int64_t new_tokens) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  Sequence& s = it->second;
+  int64_t target = s.length + new_tokens;
+  while (static_cast<int64_t>(s.blocks.size()) * m->block_size < target) {
+    if (m->window_blocks >= 0 &&
+        static_cast<int32_t>(s.blocks.size()) >=
+            m->sink_blocks + m->window_blocks) {
+      int32_t blk = s.blocks[m->sink_blocks];
+      s.blocks.erase(s.blocks.begin() + m->sink_blocks);
+      s.blocks.push_back(blk);
+      s.length = target;
+      return 0;
+    }
+    if (m->free_list.empty()) return -3;
+    int32_t b = m->free_list.back();
+    m->free_list.pop_back();
+    m->ref_counts[b]++;
+    s.blocks.push_back(b);
+  }
+  s.length = target;
+  return 0;
+}
+
+int32_t mixq_bm_free_sequence(int64_t h, int64_t seq_id) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  for (int32_t b : it->second.blocks) {
+    if (--m->ref_counts[b] == 0) m->free_list.push_back(b);
+  }
+  m->seqs.erase(it);
+  return 0;
+}
+
+int32_t mixq_bm_fork(int64_t h, int64_t src_id, int64_t dst_id) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(src_id);
+  if (it == m->seqs.end()) return -2;
+  if (m->seqs.count(dst_id)) return -4;
+  Sequence copy = it->second;
+  for (int32_t b : copy.blocks) m->ref_counts[b]++;
+  m->seqs.emplace(dst_id, std::move(copy));
+  return 0;
+}
+
+// Writes min(len(blocks), max_blocks) entries; zero-pads the rest.
+// Returns number of live blocks, or <0 on error.
+int32_t mixq_bm_block_table(int64_t h, int64_t seq_id, int32_t* out,
+                            int32_t max_blocks) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  const auto& blocks = it->second.blocks;
+  if (static_cast<int32_t>(blocks.size()) > max_blocks) return -5;
+  std::memset(out, 0, sizeof(int32_t) * max_blocks);
+  std::memcpy(out, blocks.data(), sizeof(int32_t) * blocks.size());
+  return static_cast<int32_t>(blocks.size());
+}
+
+// Batched table fill: seq_ids[n] -> out[n * max_blocks]. Returns 0 or the
+// first error code encountered.
+int32_t mixq_bm_block_tables(int64_t h, const int64_t* seq_ids, int32_t n,
+                             int32_t* out, int32_t max_blocks) {
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t r =
+        mixq_bm_block_table(h, seq_ids[i], out + i * max_blocks, max_blocks);
+    if (r < 0) return r;
+  }
+  return 0;
+}
+
+int64_t mixq_bm_seq_length(int64_t h, int64_t seq_id) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  return it->second.length;
+}
+
+}  // extern "C"
