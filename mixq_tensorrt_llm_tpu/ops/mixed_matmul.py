@@ -120,6 +120,71 @@ def mixed_matmul(q_x, scale_row, x_outliers, qweight, scale_col, fp_weight,
 
 
 
+def _epilogue_kernel(acc_ref, srow_ref, xout_ref, scol_ref, fpw_ref,
+                     out_ref, *, silu):
+    side = jnp.dot(xout_ref[:], fpw_ref[:],
+                   preferred_element_type=jnp.float32)
+    res = (acc_ref[:].astype(jnp.float32)
+           * srow_ref[:].astype(jnp.float32)
+           * scol_ref[:].astype(jnp.float32)) + side
+    if silu:
+        res = res * jax.nn.sigmoid(res)
+    out_ref[:] = res.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("silu", "out_dtype", "interpret",
+                                             "block_m", "block_n"))
+def mixed_matmul_hybrid(q_x, scale_row, x_outliers, qweight, scale_col,
+                        fp_weight, silu: bool = False,
+                        out_dtype=jnp.bfloat16, interpret=None,
+                        block_m: int = 512, block_n: int = 1024):
+    """Mixed GEMM, hybrid schedule: the int8 contraction runs as an XLA
+    dot (which reaches near-peak MXU rates that Mosaic-generated matmul
+    loops currently do not on this toolchain), and one Pallas epilogue pass
+    fuses dequant rescale + the ko-wide outlier side-GEMM + optional SiLU
+    while the int32 accumulator tile is VMEM-resident — the accumulator is
+    read from HBM exactly once and only the bf16 result is written back.
+
+    This is the production default; `mixed_matmul` (full-Pallas) is kept
+    for comparison and for platforms where it wins.
+    """
+    interpret = resolve_interpret(interpret)
+    m, k = q_x.shape
+    n = qweight.shape[1]
+    ko = x_outliers.shape[1]
+
+    acc = jax.lax.dot_general(
+        q_x, qweight, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = _pick_block(n, block_n)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        acc = jnp.pad(acc, ((0, m_pad - m), (0, 0)))
+        scale_row = jnp.pad(scale_row, (0, m_pad - m))
+        x_outliers = jnp.pad(x_outliers, ((0, m_pad - m), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_epilogue_kernel, silu=silu),
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),     # acc
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0)),      # srow
+            pl.BlockSpec((bm, ko), lambda i, j: (i, 0)),     # xout
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),      # scol
+            pl.BlockSpec((ko, bn), lambda i, j: (0, j)),     # fpw
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(acc, scale_row[:, None], x_outliers, scale_col[None, :], fp_weight)
+    return out[:m]
+
+
 def mix_linear(x, qweight, scale_col, fp_ind, fp_weight, silu=False,
                out_dtype=jnp.bfloat16, interpret=None):
     """Float activations -> quant+split (XLA-fused) -> Pallas mixed GEMM.

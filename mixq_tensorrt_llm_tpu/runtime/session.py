@@ -56,7 +56,8 @@ class GenerationSession:
     """
 
     def __init__(self, params, cfg: ModelConfig, max_seq_len: int = 2048,
-                 prefill_buckets: Optional[Sequence[int]] = None):
+                 prefill_buckets: Optional[Sequence[int]] = None,
+                 use_flash_prefill: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_seq_len = max_seq_len
@@ -72,7 +73,8 @@ class GenerationSession:
             b, s = tokens.shape
             pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
             logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
-                                            cache, lens, full_prefill=True)
+                                            cache, lens,
+                                            full_prefill=use_flash_prefill)
             # gather logits at each sequence's last valid position
             last = jnp.take_along_axis(
                 logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)

@@ -47,6 +47,23 @@ class TestMixedMatmulKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
 
+    @pytest.mark.parametrize("silu", [False, True])
+    def test_hybrid_parity(self, silu):
+        m, k, n, ko = 100, 256, 384, 128
+        art = make_art(60, k, n, ko)
+        x = rand(61, m, k, scale=2.0)
+        q_x, srow, xout = ref.quant_split(x, art.fp_ind)
+        want = ref.mixed_matmul(q_x, srow, xout, art.qweight, art.scale_col,
+                                art.fp_weight, silu=silu,
+                                out_dtype=jnp.float32)
+        got = mmk.mixed_matmul_hybrid(q_x, srow, xout, art.qweight,
+                                      art.scale_col, art.fp_weight,
+                                      silu=silu, out_dtype=jnp.float32,
+                                      interpret=True, block_m=64,
+                                      block_n=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
     def test_silu_parity(self):
         m, k, n, ko = 64, 256, 256, 128
         art = make_art(11, k, n, ko)
