@@ -116,16 +116,74 @@ def _cmd_eval(args):
     }))
 
 
+def _add_summarize(sub):
+    p = sub.add_parser(
+        "summarize",
+        help="ROUGE eval on a jsonl of {article, highlights} records "
+             "(reference summarize.py equivalent; bring your own "
+             "CNN/DailyMail-style file)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--data_file", required=True,
+                   help="jsonl with 'article' and 'highlights' fields")
+    p.add_argument("--max_samples", type=int, default=20)
+    p.add_argument("--max_input_len", type=int, default=896)
+    p.add_argument("--output_len", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--rouge1_threshold", type=float, default=None,
+                   help="exit non-zero if rouge1 falls below this "
+                        "(reference --tensorrt_llm_rouge1_threshold)")
+    return p
+
+
+def _cmd_summarize(args):
+    from .api import LLM
+    from .eval.rouge import rouge_scores
+
+    llm = LLM(args.model, quant=args.quant,
+              max_seq_len=args.max_input_len + args.output_len)
+    records = []
+    with open(args.data_file) as f:
+        for line in f:
+            if line.strip():
+                records.append(json.loads(line))
+            if len(records) >= args.max_samples:
+                break
+    prompt_tmpl = "Summarize the following article:\n\n{}\n\nSummary:"
+    hyps, refs = [], []
+    for i in range(0, len(records), args.batch_size):
+        chunk = records[i: i + args.batch_size]
+        prompts = []
+        for r in chunk:
+            ids = llm.tokenizer(prompt_tmpl.format(r["article"])
+                                )["input_ids"][: args.max_input_len]
+            prompts.append(ids)
+        out = llm.generate_tokens(prompts, max_new_tokens=args.output_len,
+                                  eos_token_id=llm.tokenizer.eos_token_id)
+        for r, seq, p in zip(chunk, out.sequences, prompts):
+            hyps.append(llm.tokenizer.decode(seq[len(p):],
+                                             skip_special_tokens=True))
+            refs.append(r["highlights"])
+    scores = rouge_scores(hyps, refs)
+    print(json.dumps({k: round(v, 3) for k, v in scores.items()}))
+    if args.rouge1_threshold is not None and \
+            scores["rouge1"] < args.rouge1_threshold:
+        sys.exit(f"rouge1 {scores['rouge1']:.2f} below threshold "
+                 f"{args.rouge1_threshold}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mixq-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_quantize(sub)
     _add_generate(sub)
     _add_eval(sub)
+    _add_summarize(sub)
     args = parser.parse_args(argv)
     {"quantize": _cmd_quantize,
      "generate": _cmd_generate,
-     "eval-ppl": _cmd_eval}[args.cmd](args)
+     "eval-ppl": _cmd_eval,
+     "summarize": _cmd_summarize}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,18 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     valid = write_pos < kv_valid_len[:, None]
     new_caches = pkv.paged_write(layer_caches, block_table, write_pos,
                                  new_k, new_v, quantized, valid=valid)
+
+    if q.shape[1] == 1 and _use_paged_kernel():
+        # decode: flash-decoding Pallas kernel reads pages in place
+        # (int8 dequant in VMEM); the jnp gather path below would
+        # materialize the whole dequantized cache every step
+        from ..ops.paged_attention import paged_decode_attention
+        out = paged_decode_attention(
+            q[:, 0], new_caches["k"], new_caches["v"],
+            new_caches.get("k_scale"), new_caches.get("v_scale"),
+            block_table, kv_valid_len, scale=cfg.head_dim ** -0.5)
+        return out[:, None].astype(q.dtype), new_caches
+
     k_all, v_all = pkv.paged_gather(new_caches, block_table, cfg.dtype)
     smax = k_all.shape[1]
     kv_idx = jnp.arange(smax)
@@ -206,6 +218,12 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     out = ops_ref.attention(q, k_all, v_all, mask=mask,
                             scale=cfg.head_dim ** -0.5)
     return out, new_caches
+
+
+def _use_paged_kernel() -> bool:
+    import os
+    from ..ops._util import _on_tpu
+    return _on_tpu() and os.environ.get("MIXQ_PAGED_KERNEL", "1") != "0"
 
 
 def _absmax_in(x: jax.Array) -> jax.Array:

@@ -35,15 +35,21 @@ from . import ref
 
 @functools.cache
 def default_backend() -> str:
+    """Backend for the *linear* ops (matmuls + their quant epilogues).
+
+    Measured on the target chip (tools/kernel_bench.py + probes): XLA's
+    native dots reach 305-425 TFLOPS/TOPS at model shapes while
+    Mosaic-generated matmul loops cap near 130, and Pallas DMA tops out at
+    ~310 GB/s vs 575 for XLA fusions — so the XLA-composed reference path
+    is the production default everywhere XLA can fuse. Pallas remains the
+    engine for the ops XLA cannot express efficiently: flash prefill
+    attention and paged decode attention with in-kernel int8 KV dequant
+    (dispatched in ops/attention.py and models/common.py, not here).
+    Override with MIXQ_BACKEND=pallas|ref.
+    """
     forced = os.environ.get("MIXQ_BACKEND")
     if forced:
         return forced
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        platform = "cpu"
-    if platform in ("tpu", "axon") and _pallas_available():
-        return "pallas"
     return "ref"
 
 

@@ -10,8 +10,11 @@ block table, and int8 pages are dequantized in VMEM — HBM traffic stays
 materialized (the jnp reference path does exactly that and is why decode
 needs this kernel).
 
-Layout notes: pages are (BS, Hkv, D) with D on lanes; GQA is computed as a
-batched (Hkv, G, BS) logits tensor so all heads ride one dot_general.
+Layouts: kv pages (NB, Hkv, BS, D) with D on lanes; scale pages
+(NB, Hkv, BS) with BS on lanes (BS % 128 == 0 on TPU). The body loops over
+kv heads and works on 2D (BS, D) / (G, BS) tiles — whole-page 3D values
+spill vector registers and batched dots do not lower, both measured to be
+several times slower than this form.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ NEG_INF = -1e30
 def _kernel(table_ref, lens_ref,                       # scalar prefetch
             q_ref, k_ref, v_ref, ks_ref, vs_ref,       # inputs
             out_ref,                                   # output
-            acc_ref, m_ref, l_ref, *, bs, scale, quantized):
+            acc_ref, m_ref, l_ref, *, bs, hkv, g, scale, quantized):
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
@@ -46,33 +49,35 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
 
     @pl.when(j * bs < seq_len)
     def _():
-        # k/v page: (BS, Hkv, D) -> (Hkv, BS, D)
-        k = k_ref[:].astype(jnp.float32).transpose(1, 0, 2)
-        v = v_ref[:].astype(jnp.float32).transpose(1, 0, 2)
-        if quantized:
-            k = k * ks_ref[:].astype(jnp.float32).T[:, :, None]
-            v = v * vs_ref[:].astype(jnp.float32).T[:, :, None]
+        pos_row = j * bs + jax.lax.broadcasted_iota(jnp.int32, (g, bs), 1)
+        valid = pos_row < seq_len
 
-        q = q_ref[:].astype(jnp.float32) * scale      # (Hkv, G, D)
+        for h in range(hkv):
+            k_h = k_ref[h].astype(jnp.float32)          # (BS, D)
+            v_h = v_ref[h].astype(jnp.float32)
+            if quantized:
+                k_h = k_h * ks_ref[h][:, None].astype(jnp.float32)
+                v_h = v_h * vs_ref[h][:, None].astype(jnp.float32)
 
-        # logits (Hkv, G, BS): batched over kv heads
-        logits = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            q_h = q_ref[pl.ds(h * g, g), :].astype(jnp.float32) * scale
+            logits = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (G, BS)
+            logits = jnp.where(valid, logits, NEG_INF)
 
-        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-        logits = jnp.where(pos < seq_len, logits, NEG_INF)
-
-        m_prev = m_ref[:]                              # (Hkv, G, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (Hkv, G, D)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new
+            rows = pl.ds(h * g, g)
+            m_prev = m_ref[rows, :]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(logits, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            l_ref[rows, :] = l_ref[rows, :] * alpha + \
+                jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (G, D)
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+            m_ref[rows, :] = m_new
 
     @pl.when(j == n_blocks - 1)
     def _():
@@ -84,46 +89,54 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
 def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
                            block_table, lens, scale: float,
                            interpret=None):
-    """q (B, Hq, D); k/v pages (NB, BS, Hkv, D) [+ scales (NB, BS, Hkv) when
+    """q (B, Hq, D); k/v pages (NB, Hkv, BS, D) [+ scales (NB, Hkv, BS) when
     int8]; block_table (B, MB) int32; lens (B,) kv lengths -> (B, Hq, D).
+
+    On TPU (compiled) the block size must be a multiple of 128 so scale
+    pages slice cleanly on lanes; interpret mode has no such constraint.
+    Query rows are ordered head-major: row h*G+i is query head h*G+i, which
+    matches the (B, Hq, D) reshape of grouped attention.
     """
     interpret = resolve_interpret(interpret)
     b, hq, d = q.shape
-    nb, bs, hkv, _ = k_pages.shape
+    nb, hkv, bs, _ = k_pages.shape
     mb = block_table.shape[1]
     g = hq // hkv
     quantized = k_scale is not None
+    if not interpret and quantized:
+        assert bs % 128 == 0, (
+            f"paged decode kernel needs block_size % 128 == 0 with int8 KV "
+            f"(got {bs})")
 
-    q_r = q.reshape(b, hkv, g, d)
     if not quantized:   # feed dummy scale refs so the kernel arity is fixed
-        k_scale = jnp.ones((nb, bs, hkv), jnp.float32)
+        k_scale = jnp.ones((nb, hkv, bs), jnp.float32)
         v_scale = k_scale
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, mb),
         in_specs=[
-            pl.BlockSpec((1, hkv, g, d),
-                         lambda i, j, table, lens: (i, 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d),
+            pl.BlockSpec((1, hq, d),
+                         lambda i, j, table, lens: (i, 0, 0)),
+            pl.BlockSpec((1, hkv, bs, d),
                          lambda i, j, table, lens: (table[i, j], 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d),
+            pl.BlockSpec((1, hkv, bs, d),
                          lambda i, j, table, lens: (table[i, j], 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv),
+            pl.BlockSpec((1, hkv, bs),
                          lambda i, j, table, lens: (table[i, j], 0, 0)),
-            pl.BlockSpec((1, bs, hkv),
+            pl.BlockSpec((1, hkv, bs),
                          lambda i, j, table, lens: (table[i, j], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hkv, g, d),
-                               lambda i, j, table, lens: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hq, d),
+                               lambda i, j, table, lens: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hkv, g, d), jnp.float32),
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
         ],
     )
 
-    kernel = functools.partial(_kernel, bs=bs, scale=scale,
+    kernel = functools.partial(_kernel, bs=bs, hkv=hkv, g=g, scale=scale,
                                quantized=quantized)
 
     def body(table_ref, lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
@@ -136,10 +149,10 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_table, lens, q_r, k_pages, v_pages, k_scale, v_scale)
-    return out.reshape(b, hq, d)
+    )(block_table, lens, q, k_pages, v_pages, k_scale, v_scale)
+    return out

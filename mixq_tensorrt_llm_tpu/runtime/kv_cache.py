@@ -29,11 +29,15 @@ from ..quant import core as qcore
 
 
 class PagedKVState(NamedTuple):
-    """Device-side pool. int8 mode carries per-entry scales."""
+    """Device-side pool. int8 mode carries per-entry scales.
 
-    k: jax.Array            # (L, num_blocks, block_size, Hkv, D)
+    Scale pages are laid out (num_blocks, Hkv, block_size) — block_size on
+    lanes — because Mosaic requires 128-aligned lane slices and Hkv is
+    usually < 128 (use block_size >= 128 with the TPU decode kernel)."""
+
+    k: jax.Array            # (L, num_blocks, Hkv, block_size, D)
     v: jax.Array
-    k_scale: Optional[jax.Array] = None   # (L, num_blocks, block_size, Hkv)
+    k_scale: Optional[jax.Array] = None   # (L, num_blocks, Hkv, block_size)
     v_scale: Optional[jax.Array] = None
 
     @property
@@ -42,7 +46,7 @@ class PagedKVState(NamedTuple):
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def num_blocks(self) -> int:
@@ -51,13 +55,14 @@ class PagedKVState(NamedTuple):
 
 def init_paged_kv(cfg: ModelConfig, num_blocks: int,
                   block_size: int = 64) -> PagedKVState:
-    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads,
+    shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size,
              cfg.head_dim)
     if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+        sshape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size)
         return PagedKVState(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.ones(shape[:-1], jnp.float32),
-            v_scale=jnp.ones(shape[:-1], jnp.float32))
+            k_scale=jnp.ones(sshape, jnp.float32),
+            v_scale=jnp.ones(sshape, jnp.float32))
     return PagedKVState(k=jnp.zeros(shape, cfg.dtype),
                         v=jnp.zeros(shape, cfg.dtype))
 
@@ -179,27 +184,29 @@ def paged_write(layer_caches, block_table: jax.Array,
                   block 0, which BlockManager reserves as a trash block so
                   padding can never corrupt another sequence's pages.
     """
-    bs = layer_caches["k"].shape[1]
+    bs = layer_caches["k"].shape[2]
     mb = block_table.shape[1]
     blk_idx = jnp.clip(write_pos // bs, 0, mb - 1)
     blk = jnp.take_along_axis(block_table, blk_idx, axis=1)  # (B,S)
     off = write_pos % bs
     if valid is not None:
         blk = jnp.where(valid, blk, 0)
+    # kv pages are (NB, Hkv, BS, D) and scale pages (NB, Hkv, BS): the
+    # head axis precedes the in-block offset, so updates index [blk, :, off]
     if quantized:
         qk, sk = qcore.quantize_kv(new_k)
         qv, sv = qcore.quantize_kv(new_v)
         out = {
-            "k": layer_caches["k"].at[blk, off].set(qk),
-            "v": layer_caches["v"].at[blk, off].set(qv),
-            "k_scale": layer_caches["k_scale"].at[blk, off].set(sk),
-            "v_scale": layer_caches["v_scale"].at[blk, off].set(sv),
+            "k": layer_caches["k"].at[blk, :, off].set(qk),
+            "v": layer_caches["v"].at[blk, :, off].set(qv),
+            "k_scale": layer_caches["k_scale"].at[blk, :, off].set(sk),
+            "v_scale": layer_caches["v_scale"].at[blk, :, off].set(sv),
         }
     else:
         out = {
-            "k": layer_caches["k"].at[blk, off].set(
+            "k": layer_caches["k"].at[blk, :, off].set(
                 new_k.astype(layer_caches["k"].dtype)),
-            "v": layer_caches["v"].at[blk, off].set(
+            "v": layer_caches["v"].at[blk, :, off].set(
                 new_v.astype(layer_caches["v"].dtype)),
         }
     return out
@@ -209,13 +216,14 @@ def paged_gather(layer_caches, block_table: jax.Array, dtype):
     """Materialize (B, max_blocks*BS, H, D) kv views for attention (jnp
     reference path; the Pallas paged-attention kernel reads blocks in
     place instead)."""
-    k = layer_caches["k"][block_table]   # (B, MB, BS, H, D)
+    k = layer_caches["k"][block_table]   # (B, MB, H, BS, D)
     v = layer_caches["v"][block_table]
-    b, mb, bs, h, d = k.shape
+    b, mb, h, bs, d = k.shape
     if "k_scale" in layer_caches:
         k = qcore.dequantize_kv(k, layer_caches["k_scale"][block_table],
                                 dtype=dtype)
         v = qcore.dequantize_kv(v, layer_caches["v_scale"][block_table],
                                 dtype=dtype)
-    return (k.reshape(b, mb * bs, h, d).astype(dtype),
-            v.reshape(b, mb * bs, h, d).astype(dtype))
+    k = k.transpose(0, 1, 3, 2, 4).reshape(b, mb * bs, h, d)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(b, mb * bs, h, d)
+    return k.astype(dtype), v.astype(dtype)

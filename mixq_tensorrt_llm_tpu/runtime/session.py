@@ -61,10 +61,13 @@ class GenerationSession:
         self.params = params
         self.cfg = cfg
         self.max_seq_len = max_seq_len
-        self.prefill_buckets = tuple(
+        buckets = tuple(
             b for b in (prefill_buckets or
                         (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192))
-            if b <= max_seq_len) or (max_seq_len,)
+            if b <= max_seq_len)
+        if not buckets or buckets[-1] < max_seq_len:
+            buckets = buckets + (max_seq_len,)   # prompts up to the cap fit
+        self.prefill_buckets = buckets
 
         cfg_static = cfg
 

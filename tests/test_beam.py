@@ -1,0 +1,63 @@
+"""Beam-search tests vs the greedy session."""
+
+import jax
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
+from mixq_tensorrt_llm_tpu.runtime import GenerationSession
+from mixq_tensorrt_llm_tpu.runtime.beam import beam_search
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+class TestBeamSearch:
+    def test_beam1_matches_greedy(self, model):
+        params, cfg = model
+        session = GenerationSession(params, cfg, max_seq_len=64,
+                                    prefill_buckets=(8,),
+                                    use_flash_prefill=False)
+        prompts = [[1, 2, 3], [7, 8, 9, 10]]
+        greedy = session.generate(prompts, max_new_tokens=6).sequences
+        beam = beam_search(params, cfg, prompts, max_new_tokens=6,
+                           num_beams=1, max_seq_len=64)
+        assert beam.sequences == greedy
+
+    def test_beam4_score_at_least_greedy(self, model):
+        """Beam search maximizes sum-logprob; its best hypothesis must score
+        >= the greedy sequence under the model."""
+        params, cfg = model
+        prompts = [[5, 6, 7]]
+        b1 = beam_search(params, cfg, prompts, 8, num_beams=1,
+                         max_seq_len=64)
+        b4 = beam_search(params, cfg, prompts, 8, num_beams=4,
+                         max_seq_len=64)
+        assert b4.scores[0] >= b1.scores[0] - 1e-4
+
+    def test_deterministic(self, model):
+        params, cfg = model
+        a = beam_search(params, cfg, [[3, 4]], 5, num_beams=3,
+                        max_seq_len=64)
+        b = beam_search(params, cfg, [[3, 4]], 5, num_beams=3,
+                        max_seq_len=64)
+        assert a.sequences == b.sequences and a.scores == b.scores
+
+    def test_eos_truncates(self, model):
+        params, cfg = model
+        out = beam_search(params, cfg, [[1, 2]], 6, num_beams=2,
+                          max_seq_len=64)
+        tok = out.sequences[0][3]   # some generated token
+        out2 = beam_search(params, cfg, [[1, 2]], 6, num_beams=2,
+                           eos_token_id=tok, max_seq_len=64)
+        seq = out2.sequences[0]
+        assert tok not in seq[2:-1]   # truncated at first eos

@@ -28,8 +28,8 @@ def reference(q, k_pages, v_pages, k_scale, v_scale, table, lens, scale):
 def build(key, b, hq, hkv, d, nb, bs, mb, lens, quantized):
     ks = jax.random.split(jax.random.PRNGKey(key), 4)
     q = jax.random.normal(ks[0], (b, hq, d), jnp.float32)
-    k = jax.random.normal(ks[1], (nb, bs, hkv, d), jnp.float32)
-    v = jax.random.normal(ks[2], (nb, bs, hkv, d), jnp.float32)
+    k = jax.random.normal(ks[1], (nb, hkv, bs, d), jnp.float32)
+    v = jax.random.normal(ks[2], (nb, hkv, bs, d), jnp.float32)
     # distinct block tables per sequence (use disjoint pages)
     table = np.zeros((b, mb), np.int32)
     nxt = 1
@@ -40,6 +40,7 @@ def build(key, b, hq, hkv, d, nb, bs, mb, lens, quantized):
             nxt += 1
     assert nxt <= nb
     if quantized:
+        # pages are (NB, Hkv, BS, D); per-entry scales land (NB, Hkv, BS)
         qk, sk = qcore.quantize_kv(k)
         qv, sv = qcore.quantize_kv(v)
         return q, qk, qv, sk, sv, jnp.asarray(table)
@@ -84,7 +85,7 @@ class TestPagedDecodeAttention:
         got = paged_decode_attention(q, k, v, sk, sv, table, lens,
                                      d ** -0.5, interpret=True)
         first_block = int(table[0, 0])
-        want = np.asarray(v, np.float32)[first_block, 0]   # (Hkv, D)
+        want = np.asarray(v, np.float32)[first_block, :, 0]   # (Hkv, D)
         np.testing.assert_allclose(np.asarray(got[0], np.float32),
                                    np.repeat(want, 1, axis=0), rtol=2e-2,
                                    atol=2e-2)
