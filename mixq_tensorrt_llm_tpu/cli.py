@@ -172,6 +172,30 @@ def _cmd_summarize(args):
                  f"{args.rouge1_threshold}")
 
 
+def _add_mmlu(sub):
+    p = sub.add_parser("eval-mmlu",
+                       help="MMLU accuracy over a dir of <subject>_test.csv "
+                            "(+ optional _dev.csv for few-shot)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--k_shot", type=int, default=5)
+    p.add_argument("--max_questions", type=int, default=None)
+    p.add_argument("--max_input_len", type=int, default=2048)
+    return p
+
+
+def _cmd_mmlu(args):
+    from .api import LLM
+    from .eval.mmlu import evaluate_mmlu
+
+    llm = LLM(args.model, quant=args.quant, max_seq_len=args.max_input_len)
+    acc = evaluate_mmlu(llm, args.data_dir, k_shot=args.k_shot,
+                        max_questions_per_subject=args.max_questions,
+                        max_input_len=args.max_input_len)
+    print(json.dumps({k: round(v, 4) for k, v in acc.items()}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mixq-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -179,11 +203,13 @@ def main(argv=None):
     _add_generate(sub)
     _add_eval(sub)
     _add_summarize(sub)
+    _add_mmlu(sub)
     args = parser.parse_args(argv)
     {"quantize": _cmd_quantize,
      "generate": _cmd_generate,
      "eval-ppl": _cmd_eval,
-     "summarize": _cmd_summarize}[args.cmd](args)
+     "summarize": _cmd_summarize,
+     "eval-mmlu": _cmd_mmlu}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -38,15 +38,22 @@ def causal_self_attention(q, k, v, scale: float, interpret=None):
         return ref.attention(q, k, v, mask=mask, scale=scale)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention)
+        flash_attention, BlockSizes)
     if hkv != hq:
         rep = hq // hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    # 512x512 blocks measured 3x faster than the kernel's 128 defaults on
+    # the target chip (tools/kernel probes)
+    bq = bkv = min(512, s)
+    bs_cfg = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv, block_k_dkv=bkv,
+        block_q_dkv=bq, block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq)
     # kernel layout is (B, H, S, D)
     out = flash_attention(
         q.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
         k.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
         v.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
-        causal=True, sm_scale=scale)
+        causal=True, sm_scale=scale, block_sizes=bs_cfg)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)

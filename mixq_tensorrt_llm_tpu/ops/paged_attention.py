@@ -49,9 +49,16 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
 
     @pl.when(j * bs < seq_len)
     def _():
-        pos_row = j * bs + jax.lax.broadcasted_iota(jnp.int32, (g, bs), 1)
-        valid = pos_row < seq_len
+        pos_col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, g), 0)
+        valid = pos_col < seq_len
 
+        # read the running stats ONCE per grid step — per-head dynamic-slice
+        # read-modify-writes on scratch were ~10x the whole kernel cost
+        m_prev_all = m_ref[:]     # (1, Hq)
+        l_prev_all = l_ref[:]
+        acc_prev_all = acc_ref[:]  # (Hq, D)
+
+        m_parts, l_parts, acc_parts = [], [], []
         for h in range(hkv):
             k_h = k_ref[h].astype(jnp.float32)          # (BS, D)
             v_h = v_ref[h].astype(jnp.float32)
@@ -60,29 +67,35 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
                 v_h = v_h * vs_ref[h][:, None].astype(jnp.float32)
 
             q_h = q_ref[pl.ds(h * g, g), :].astype(jnp.float32) * scale
+            # (BS, G): contract D; both operands keep D on lanes
             logits = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (G, BS)
+                k_h, q_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             logits = jnp.where(valid, logits, NEG_INF)
 
-            rows = pl.ds(h * g, g)
-            m_prev = m_ref[rows, :]
+            m_prev = m_prev_all[:, h * g:(h + 1) * g]        # (1, G)
             m_new = jnp.maximum(m_prev,
-                                jnp.max(logits, axis=-1, keepdims=True))
+                                jnp.max(logits, axis=0, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)
-            l_ref[rows, :] = l_ref[rows, :] * alpha + \
-                jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m_new)                      # (BS, G)
+            l_parts.append(l_prev_all[:, h * g:(h + 1) * g] * alpha
+                           + jnp.sum(p, axis=0, keepdims=True))
+            # (G, D): contract BS
             pv = jax.lax.dot_general(
-                p, v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (G, D)
-            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
-            m_ref[rows, :] = m_new
+                p, v_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_parts.append(
+                acc_prev_all[h * g:(h + 1) * g, :] * alpha.T + pv)
+            m_parts.append(m_new)
+
+        m_ref[:] = jnp.concatenate(m_parts, axis=1)
+        l_ref[:] = jnp.concatenate(l_parts, axis=1)
+        acc_ref[:] = jnp.concatenate(acc_parts, axis=0)
 
     @pl.when(j == n_blocks - 1)
     def _():
         out_ref[:] = (acc_ref[:] /
-                      jnp.maximum(l_ref[:], 1e-20)).astype(out_ref.dtype)
+                      jnp.maximum(l_ref[:], 1e-20).T).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -131,8 +144,8 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
                                lambda i, j, table, lens: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hq, d), jnp.float32),
-            pltpu.VMEM((hq, 1), jnp.float32),
-            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((1, hq), jnp.float32),   # m (running max, head-major)
+            pltpu.VMEM((1, hq), jnp.float32),   # l (running denom)
         ],
     )
 

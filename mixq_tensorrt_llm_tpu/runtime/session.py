@@ -85,22 +85,34 @@ class GenerationSession:
 
         @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnames=("sampling",))
-        def _decode(params, tokens, cache, lens, key, sampling):
+        def _decode(params, tokens, cache, lens, key, sampling, history,
+                    suppress_token, suppress_flag):
             b = tokens.shape[0]
             pos = lens[:, None].astype(jnp.int32)
             logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
                                             cache, lens + 1)
-            next_tok = sample(logits[:, 0], key, sampling)
+            next_tok = sample(logits[:, 0], key, sampling, history=history,
+                              suppress_token=suppress_token,
+                              suppress_flag=suppress_flag)
             return next_tok, cache
 
         self._prefill = _prefill
         self._decode = _decode
 
+    HISTORY_WINDOW = 64   # repetition-penalty lookback
+
     def generate(self, prompts: Sequence[Sequence[int]], max_new_tokens: int,
                  sampling: SamplingConfig = SamplingConfig(),
                  eos_token_id: Optional[int] = None,
+                 min_new_tokens: int = 0,
+                 stop_sequences: Optional[Sequence[Sequence[int]]] = None,
                  seed: int = 0) -> GenerationOutput:
-        """Generate completions for a batch of token-id prompts."""
+        """Generate completions for a batch of token-id prompts.
+
+        min_new_tokens bans eos until that many tokens exist (reference
+        dynamic-decoder min_length); stop_sequences are token-id suffixes
+        that end a sequence (reference stop-words list).
+        """
         b = len(prompts)
         lens_list = [len(p) for p in prompts]
         max_prompt = max(lens_list)
@@ -117,20 +129,47 @@ class GenerationSession:
 
         cache = mcommon.init_kv_cache(self.cfg, b, self.max_seq_len)
 
+        w = self.HISTORY_WINDOW
+        history = np.full((b, w), -1, np.int32)
+        for i, p in enumerate(prompts):
+            tail = list(p)[-w:]
+            history[i, :len(tail)] = tail
+        eos_tok = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+
         t0 = time.perf_counter()
         last_logits, cache = self._prefill(self.params, jnp.asarray(tokens),
                                            cache, lens)
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
-        cur = sample(last_logits, sub, sampling)
+        cur = sample(last_logits, sub, sampling, history=jnp.asarray(history),
+                     suppress_token=eos_tok,
+                     suppress_flag=jnp.int32(1 if min_new_tokens > 1 else 0))
         cur.block_until_ready()
         t1 = time.perf_counter()
 
+        def push_history(tok_np):
+            history[:, :-1] = history[:, 1:]
+            history[:, -1] = tok_np
+
         generated = np.zeros((b, max_new_tokens), np.int32)
         generated[:, 0] = np.asarray(cur)
+        push_history(generated[:, 0])
         finished = np.zeros((b,), bool)
-        if eos_token_id is not None:
-            finished |= generated[:, 0] == eos_token_id
+
+        def update_finished(step):
+            if eos_token_id is not None and step + 1 > min_new_tokens:
+                finished[generated[:, step] == eos_token_id] = True
+            if stop_sequences:
+                for i in range(b):
+                    if finished[i]:
+                        continue
+                    gen = generated[i, :step + 1].tolist()
+                    for ss in stop_sequences:
+                        if len(gen) >= len(ss) and gen[-len(ss):] == list(ss):
+                            finished[i] = True
+                            break
+
+        update_finished(0)
         cur_lens = lens
 
         steps = 1
@@ -138,12 +177,14 @@ class GenerationSession:
             if finished.all():
                 break
             key, sub = jax.random.split(key)
+            ban = jnp.int32(1 if step + 1 <= min_new_tokens else 0)
             cur, cache = self._decode(self.params, cur[:, None], cache,
-                                      cur_lens, sub, sampling)
+                                      cur_lens, sub, sampling,
+                                      jnp.asarray(history), eos_tok, ban)
             cur_lens = cur_lens + 1
             generated[:, step] = np.asarray(cur)
-            if eos_token_id is not None:
-                finished |= generated[:, step] == eos_token_id
+            push_history(generated[:, step])
+            update_finished(step)
             steps += 1
         jax.block_until_ready(cur)
         t2 = time.perf_counter()
@@ -153,6 +194,16 @@ class GenerationSession:
             gen = generated[i, :steps].tolist()
             if eos_token_id is not None and eos_token_id in gen:
                 gen = gen[:gen.index(eos_token_id) + 1]
+            if stop_sequences:
+                for ss in stop_sequences:
+                    ls = list(ss)
+                    for end in range(len(ls), len(gen) + 1):
+                        if gen[end - len(ls):end] == ls:
+                            gen = gen[:end]
+                            break
+                    else:
+                        continue
+                    break
             sequences.append(list(p) + gen)
             n_gen.append(len(gen))
         return GenerationOutput(sequences, lens_list, n_gen,
