@@ -35,6 +35,9 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
             q_ref, k_ref, v_ref, ks_ref, vs_ref,       # inputs
             out_ref,                                   # output
             acc_ref, m_ref, l_ref, *, bs, hkv, g, scale, quantized):
+    # NOTE: refs carry a leading block dim of 1 and are indexed [0, ...]
+    # directly — routing them through .at[0] sub-refs made Mosaic emit ~5x
+    # slower code (measured in the kernel bisect).
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
@@ -60,13 +63,13 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
 
         m_parts, l_parts, acc_parts = [], [], []
         for h in range(hkv):
-            k_h = k_ref[h].astype(jnp.float32)          # (BS, D)
-            v_h = v_ref[h].astype(jnp.float32)
+            k_h = k_ref[0, h].astype(jnp.float32)       # (BS, D)
+            v_h = v_ref[0, h].astype(jnp.float32)
             if quantized:
-                k_h = k_h * ks_ref[h][:, None].astype(jnp.float32)
-                v_h = v_h * vs_ref[h][:, None].astype(jnp.float32)
+                k_h = k_h * ks_ref[0, h][:, None].astype(jnp.float32)
+                v_h = v_h * vs_ref[0, h][:, None].astype(jnp.float32)
 
-            q_h = q_ref[pl.ds(h * g, g), :].astype(jnp.float32) * scale
+            q_h = q_ref[0, pl.ds(h * g, g), :].astype(jnp.float32) * scale
             # (BS, G): contract D; both operands keep D on lanes
             logits = jax.lax.dot_general(
                 k_h, q_h, (((1,), (1,)), ((), ())),
@@ -94,7 +97,7 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
 
     @pl.when(j == n_blocks - 1)
     def _():
-        out_ref[:] = (acc_ref[:] /
+        out_ref[0] = (acc_ref[:] /
                       jnp.maximum(l_ref[:], 1e-20).T).astype(out_ref.dtype)
 
 
@@ -152,15 +155,8 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     kernel = functools.partial(_kernel, bs=bs, hkv=hkv, g=g, scale=scale,
                                quantized=quantized)
 
-    def body(table_ref, lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-             out_ref, acc_ref, m_ref, l_ref):
-        kernel(table_ref, lens_ref,
-               q_ref.at[0], k_ref.at[0], v_ref.at[0],
-               ks_ref.at[0], vs_ref.at[0], out_ref.at[0],
-               acc_ref, m_ref, l_ref)
-
     out = pl.pallas_call(
-        body,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
