@@ -116,6 +116,22 @@ class LLM:
                                      sampling=sampling,
                                      eos_token_id=eos_token_id, seed=seed)
 
+    def make_executor(self, max_batch: int = 8, block_size: int = 64,
+                      prefill_chunk: int = 256,
+                      sampling: SamplingConfig = SamplingConfig(),
+                      seed: int = 0):
+        """Continuous-batching executor over this model (paged KV).
+
+        ex = llm.make_executor(max_batch=16)
+        rid = ex.submit(llm.tokenizer(text)["input_ids"], max_new_tokens=64)
+        done = ex.run()
+        """
+        from .runtime.scheduler import Executor
+        return Executor(self.params, self.cfg, max_batch=max_batch,
+                        max_seq_len=self.max_seq_len, block_size=block_size,
+                        prefill_chunk=prefill_chunk, sampling=sampling,
+                        seed=seed)
+
     def evaluate_ppl(self, token_stream: Sequence[int], seq_len: int = 512,
                      batch_size: int = 8, max_blocks: Optional[int] = None):
         from .eval.ppl import evaluate_ppl

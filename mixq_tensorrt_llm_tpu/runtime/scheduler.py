@@ -61,6 +61,15 @@ class Executor:
                  prefill_chunk: int = 256,
                  sampling: SamplingConfig = SamplingConfig(),
                  seed: int = 0):
+        from ..ops._util import _on_tpu
+        from ..quant.config import KVCacheQuantAlgo
+        if (_on_tpu() and cfg.quant.kv_cache == KVCacheQuantAlgo.INT8
+                and block_size % 128 != 0):
+            # the TPU decode kernel needs 128-token pages with int8 KV
+            from ..utils.logger import logger
+            logger.info("bumping block_size %d -> 128 for the int8-KV "
+                        "decode kernel", block_size)
+            block_size = 128
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

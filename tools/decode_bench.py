@@ -1,0 +1,100 @@
+"""Decode-throughput benchmark: batched decode steps at a given context.
+
+Decode is HBM-bandwidth-bound, which is where int8 weights + int8 KV show
+their full advantage over bf16 (the reference's M<=4 GEMV regime,
+weightOnlyBatchedGemv). Uses the paged path (block tables + the Pallas
+decode-attention kernel on TPU) driven exactly as the Executor drives it,
+with in-jit chained steps for honest timing on the async relay.
+
+Usage: python tools/decode_bench.py [--layers N] [--bs N] [--ctx N] [--bf16]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8,
+                    help="depth (scaled to 32 in the report)")
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--bf16", action="store_true",
+                    help="unquantized baseline instead of int8_mix")
+    args = ap.parse_args()
+
+    from mixq_tensorrt_llm_tpu.models import (ModelConfig, llama as mllama,
+                                              common as mcommon)
+    from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
+                                             KVCacheQuantAlgo)
+    from mixq_tensorrt_llm_tpu.runtime.kv_cache import init_paged_kv
+
+    quant = QuantConfig() if args.bf16 else QuantConfig(
+        algo=QuantAlgo.INT8_MIX, num_outliers=128,
+        kv_cache=KVCacheQuantAlgo.INT8)
+    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=11008, num_layers=args.layers,
+                      num_heads=32, num_kv_heads=32, head_dim=128,
+                      quant=quant)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+
+    block_size = 128
+    mb = -(-args.ctx // block_size) + 1
+    nb = args.bs * mb + 1
+    state = init_paged_kv(cfg, nb, block_size)
+    table = np.zeros((args.bs, mb), np.int32)
+    nxt = 1
+    for i in range(args.bs):
+        for j in range(mb):
+            table[i, j] = nxt
+            nxt += 1
+    table = jnp.asarray(table)
+    lens0 = jnp.full((args.bs,), args.ctx, jnp.int32)
+    tok0 = jnp.ones((args.bs, 1), jnp.int32)
+
+    iters = args.iters
+
+    @jax.jit
+    def run(tokens, state, lens):
+        def body(i, carry):
+            tokens, state, lens, acc = carry
+            pos = lens[:, None].astype(jnp.int32)
+            logits, state = mcommon.forward_paged(
+                params, cfg, tokens, pos, state, table, lens + 1)
+            nxt_tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (nxt_tok[:, None], state, lens + 1,
+                    acc + logits[0, 0, 0])
+        out = jax.lax.fori_loop(0, iters, body,
+                                (tokens, state, lens, jnp.float32(0)))
+        return out[3]
+
+    t0 = time.time()
+    float(run(tok0, state, lens0))
+    print(f"compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(tok0, state, lens0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    scale = 32 / args.layers
+    step_ms = best * 1e3 * scale
+    tok_s = args.bs / (best * scale)
+    mode = "bf16" if args.bf16 else "int8_mix+int8kv"
+    print(f"decode {mode} bs={args.bs} ctx={args.ctx} "
+          f"({args.layers} layers scaled x{scale:.0f}): "
+          f"{step_ms:.2f} ms/step -> {tok_s:,.0f} tok/s")
+
+
+if __name__ == "__main__":
+    main()
