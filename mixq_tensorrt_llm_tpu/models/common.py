@@ -245,13 +245,24 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     b, s, _ = x.shape
     stats = {}
 
+    # decode regime (S == 1, static at trace time): the reference skips the
+    # mixed path entirely and runs the weight-only W8A16 GEMV on the full
+    # qweight (TsinghuaMixQPlugin.cpp:624-647, SMALL_M_FAST_PATH); our
+    # single-weight storage makes that a pure routing decision
+    def _algo(mod):
+        a = cfg.module_algo(mod)
+        if s == 1 and a.is_mix:
+            return (QuantAlgo.W8A16 if a == QuantAlgo.INT8_MIX
+                    else QuantAlgo.W4A16)
+        return a
+
     # --- attention --- (norm fused into the quantized qkv GEMM when mix)
     if collect_stats:
         h_in = ops_ref.rmsnorm(x, layer_params["input_norm"]["w"],
                                cfg.rms_norm_eps)
         stats["qkv_proj"] = _absmax_in(h_in)
     qkv = dispatch.norm_linear(layer_params["qkv_proj"], x,
-                               cfg.module_algo("qkv_proj"),
+                               _algo("qkv_proj"),
                                layer_params["input_norm"]["w"],
                                eps=cfg.rms_norm_eps)
     q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
@@ -272,7 +283,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     if collect_stats:
         stats["o_proj"] = _absmax_in(attn)
     attn = dispatch.linear(layer_params["o_proj"], attn,
-                           cfg.module_algo("o_proj"))
+                           _algo("o_proj"))
     x = x + attn.astype(x.dtype)
 
     # --- mlp (SwiGLU, fused gate_up GEMM, norm fused when mix) ---
@@ -281,7 +292,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                                cfg.rms_norm_eps)
         stats["gate_up_proj"] = _absmax_in(h_in)
     gate_up = dispatch.norm_linear(layer_params["gate_up_proj"], x,
-                                   cfg.module_algo("gate_up_proj"),
+                                   _algo("gate_up_proj"),
                                    layer_params["post_norm"]["w"],
                                    eps=cfg.rms_norm_eps)
     gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -290,7 +301,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     if collect_stats:
         stats["down_proj"] = _absmax_in(h)
     h = dispatch.linear(layer_params["down_proj"], h,
-                        cfg.module_algo("down_proj"))
+                        _algo("down_proj"))
     out = x + h.astype(x.dtype)
     if collect_stats:
         return out, new_cache, stats
