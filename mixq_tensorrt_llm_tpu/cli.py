@@ -196,6 +196,29 @@ def _cmd_mmlu(args):
     print(json.dumps({k: round(v, 4) for k, v in acc.items()}))
 
 
+def _add_serve(sub):
+    p = sub.add_parser("serve", help="HTTP serving (continuous batching)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--block_size", type=int, default=64)
+    p.add_argument("--prefill_chunk", type=int, default=256)
+    return p
+
+
+def _cmd_serve(args):
+    from .api import LLM
+    from .serve import run_server
+
+    llm = LLM(args.model, quant=args.quant, max_seq_len=args.max_seq_len)
+    run_server(llm, host=args.host, port=args.port,
+               max_batch=args.max_batch, block_size=args.block_size,
+               prefill_chunk=args.prefill_chunk)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mixq-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -204,12 +227,14 @@ def main(argv=None):
     _add_eval(sub)
     _add_summarize(sub)
     _add_mmlu(sub)
+    _add_serve(sub)
     args = parser.parse_args(argv)
     {"quantize": _cmd_quantize,
      "generate": _cmd_generate,
      "eval-ppl": _cmd_eval,
      "summarize": _cmd_summarize,
-     "eval-mmlu": _cmd_mmlu}[args.cmd](args)
+     "eval-mmlu": _cmd_mmlu,
+     "serve": _cmd_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 4096
     qkv_bias: bool = False               # True for Qwen2
+    sliding_window: int = 0              # 0 = full attention (Mistral: 4096)
     tie_word_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
@@ -172,7 +173,7 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
 
-    if full_prefill:
+    if full_prefill and not cfg.sliding_window:
         out = ops_attn.causal_self_attention(q, new_k, new_v,
                                              scale=cfg.head_dim ** -0.5)
         return out, new_cache
@@ -182,6 +183,10 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     # mask (B, 1, S, Smax): causal in absolute positions, limited to valid len
     mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
            (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
+    if cfg.sliding_window:
+        # Mistral-style window: attend only the last W positions
+        mask &= (kv_idx[None, None, None, :] >
+                 write_pos[:, None, :, None] - cfg.sliding_window)
     out = ops_ref.attention(q, k_all, v_all, mask=mask,
                             scale=cfg.head_dim ** -0.5)
     return out, new_cache
@@ -215,6 +220,9 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     kv_idx = jnp.arange(smax)
     mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
            (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
+    if cfg.sliding_window:
+        mask &= (kv_idx[None, None, None, :] >
+                 write_pos[:, None, :, None] - cfg.sliding_window)
     out = ops_ref.attention(q, k_all, v_all, mask=mask,
                             scale=cfg.head_dim ** -0.5)
     return out, new_caches

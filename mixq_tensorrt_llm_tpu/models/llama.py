@@ -202,6 +202,7 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()) -> ModelConfig
         rms_norm_eps=hf_config.rms_norm_eps,
         max_position_embeddings=hf_config.max_position_embeddings,
         qkv_bias=(arch == "qwen2"),
+        sliding_window=getattr(hf_config, "sliding_window", None) or 0,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         quant=quant,
     )

@@ -46,6 +46,7 @@ class Request:
     submit_time: float = dataclasses.field(default_factory=time.perf_counter)
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
+    on_token: Optional[object] = None   # streaming callback(req, token)
 
     @property
     def sequence(self) -> List[int]:
@@ -123,7 +124,10 @@ class Executor:
 
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
-               eos_token_id: Optional[int] = None) -> int:
+               eos_token_id: Optional[int] = None,
+               on_token=None) -> int:
+        """on_token(request, token) is called for every generated token
+        (streaming; reference streaming generation T8/T16)."""
         if len(prompt) + max_new_tokens > self.max_seq_len:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -131,7 +135,7 @@ class Executor:
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(rid, list(prompt), max_new_tokens,
-                                  eos_token_id))
+                                  eos_token_id, on_token=on_token))
         return rid
 
     @property
@@ -176,6 +180,8 @@ class Executor:
 
     def _append_token(self, req: Request, tok: int) -> None:
         req.generated.append(tok)
+        if req.on_token is not None:
+            req.on_token(req, tok)
         hit_eos = (req.eos_token_id is not None and tok == req.eos_token_id)
         if hit_eos or len(req.generated) >= req.max_new_tokens:
             self._finish(req)

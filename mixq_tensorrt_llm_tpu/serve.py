@@ -1,0 +1,140 @@
+"""HTTP serving front-end over the continuous-batching executor.
+
+Reference parity: the C++ executor's serving role (ModelRunnerCpp /
+executorWorker accepting inflight requests; SURVEY T10). A stdlib
+ThreadingHTTPServer accepts POST /generate while one stepper thread drives
+Executor.step() — requests batch together automatically between steps.
+
+  POST /generate  {"prompt": str | [int], "max_new_tokens": int,
+                   "eos": bool}                -> {"text", "tokens", "stats"}
+  GET  /health                                 -> {"status": "ok", ...}
+
+Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class InferenceServer:
+    def __init__(self, llm, max_batch: int = 8, block_size: int = 64,
+                 prefill_chunk: int = 256):
+        self.llm = llm
+        self.executor = llm.make_executor(max_batch=max_batch,
+                                          block_size=block_size,
+                                          prefill_chunk=prefill_chunk)
+        self._lock = threading.Lock()
+        self._events = {}
+        self._stop = threading.Event()
+        self._stepper = threading.Thread(target=self._step_loop, daemon=True)
+        self._stepper.start()
+
+    def _step_loop(self):
+        while not self._stop.is_set():
+            with self._lock:
+                worked = self.executor.step() if self.executor.has_work else 0
+                for rid, req in list(self.executor.finished.items()):
+                    ev = self._events.get(rid)
+                    if ev is not None:
+                        ev.set()
+            if not worked:
+                time.sleep(0.005)
+
+    def generate(self, prompt, max_new_tokens: int = 64,
+                 use_eos: bool = True, timeout: float = 600.0) -> dict:
+        if isinstance(prompt, str):
+            assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
+            ids = self.llm.tokenizer(prompt)["input_ids"]
+        else:
+            ids = list(prompt)
+        eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
+               if use_eos else None)
+        ev = threading.Event()
+        with self._lock:
+            rid = self.executor.submit(ids, max_new_tokens=max_new_tokens,
+                                       eos_token_id=eos)
+            self._events[rid] = ev
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {rid} timed out")
+        with self._lock:
+            req = self.executor.finished.pop(rid)
+            self._events.pop(rid, None)
+        text = (self.llm.tokenizer.decode(req.generated,
+                                          skip_special_tokens=True)
+                if self.llm.tokenizer else None)
+        return {
+            "text": text,
+            "tokens": req.generated,
+            "stats": {
+                "prompt_tokens": len(req.prompt),
+                "generated_tokens": len(req.generated),
+                "ttft_s": round(req.first_token_time - req.submit_time, 4),
+                "total_s": round(req.finish_time - req.submit_time, 4),
+            },
+        }
+
+    def shutdown(self):
+        self._stop.set()
+        self._stepper.join(timeout=5)
+
+
+def make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                with server._lock:
+                    active = server.executor.num_active
+                    queued = len(server.executor.queue)
+                self._json(200, {"status": "ok", "active": active,
+                                 "queued": queued})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = server.generate(
+                    req.get("prompt", ""),
+                    max_new_tokens=int(req.get("max_new_tokens", 64)),
+                    use_eos=bool(req.get("eos", True)))
+                self._json(200, out)
+            except (ValueError, KeyError, AssertionError) as e:
+                self._json(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
+
+    return Handler
+
+
+def run_server(llm, host: str = "127.0.0.1", port: int = 8000,
+               max_batch: int = 8, block_size: int = 64,
+               prefill_chunk: int = 256) -> None:
+    srv = InferenceServer(llm, max_batch=max_batch, block_size=block_size,
+                          prefill_chunk=prefill_chunk)
+    httpd = ThreadingHTTPServer((host, port), make_handler(srv))
+    print(f"serving on http://{host}:{port} "
+          f"(POST /generate, GET /health)", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.shutdown()

@@ -1,0 +1,94 @@
+"""HTTP serving tests: concurrent requests through the stepper thread."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+    from mixq_tensorrt_llm_tpu.serve import InferenceServer, make_handler
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=64,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+
+    class FakeLLM:
+        tokenizer = None
+        max_seq_len = 64
+
+        def make_executor(self, **kw):
+            from mixq_tensorrt_llm_tpu.runtime import Executor
+            return Executor(params, cfg, max_seq_len=64, max_batch=2,
+                            block_size=8, prefill_chunk=16)
+
+    srv = InferenceServer(FakeLLM())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+
+
+def test_generate_tokens(server):
+    out = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 5,
+                         "eos": False})
+    assert len(out["tokens"]) == 5
+    assert out["stats"]["prompt_tokens"] == 3
+    assert out["stats"]["ttft_s"] >= 0
+
+
+def test_concurrent_requests_batch(server):
+    results = {}
+
+    def go(name, prompt):
+        results[name] = _post(server, {"prompt": prompt,
+                                       "max_new_tokens": 6, "eos": False})
+
+    threads = [threading.Thread(target=go, args=(i, [10 + i, 20 + i]))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 4
+    for out in results.values():
+        assert len(out["tokens"]) == 6
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        server + "/generate", json.dumps({"prompt": [1] * 100,
+                                          "max_new_tokens": 50}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "max_seq_len" in json.loads(e.read())["error"]
