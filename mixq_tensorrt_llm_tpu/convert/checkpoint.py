@@ -75,8 +75,18 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
     if not cfg.tie_word_embeddings and "lm_head" not in params:
         missing.append("lm_head")
     layers = params.get("layers", {})
-    for mod in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj",
-                "input_norm", "post_norm"):
+    if cfg.num_experts > 0:
+        mods = ("qkv_proj", "o_proj", "input_norm", "post_norm")
+        if "moe" not in layers:
+            missing.append("layers.moe")
+        else:
+            for sub in ("router", "gate_up", "down"):
+                if sub not in layers["moe"]:
+                    missing.append(f"layers.moe.{sub}")
+    else:
+        mods = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj",
+                "input_norm", "post_norm")
+    for mod in mods:
         if mod not in layers:
             missing.append(f"layers.{mod}")
             continue

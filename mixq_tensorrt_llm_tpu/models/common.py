@@ -45,6 +45,8 @@ class ModelConfig:
     max_position_embeddings: int = 4096
     qkv_bias: bool = False               # True for Qwen2
     sliding_window: int = 0              # 0 = full attention (Mistral: 4096)
+    num_experts: int = 0                 # 0 = dense MLP (Mixtral: 8)
+    top_k_experts: int = 2
     tie_word_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
@@ -294,22 +296,31 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                            _algo("o_proj"))
     x = x + attn.astype(x.dtype)
 
-    # --- mlp (SwiGLU, fused gate_up GEMM, norm fused when mix) ---
-    if collect_stats:
+    # --- mlp: dense SwiGLU or MoE (Mixtral) ---
+    if cfg.num_experts > 0:
+        from . import moe as moe_mod
         h_in = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
                                cfg.rms_norm_eps)
-        stats["gate_up_proj"] = _absmax_in(h_in)
-    gate_up = dispatch.norm_linear(layer_params["gate_up_proj"], x,
-                                   _algo("gate_up_proj"),
-                                   layer_params["post_norm"]["w"],
-                                   eps=cfg.rms_norm_eps)
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    h = (jax.nn.silu(gate.astype(jnp.float32)) *
-         up.astype(jnp.float32)).astype(x.dtype)
-    if collect_stats:
-        stats["down_proj"] = _absmax_in(h)
-    h = dispatch.linear(layer_params["down_proj"], h,
-                        _algo("down_proj"))
+        if collect_stats:
+            stats["gate_up_proj"] = _absmax_in(h_in)
+            stats["down_proj"] = _absmax_in(h_in)   # shared input proxy
+        h = moe_mod.moe_mlp(cfg, layer_params["moe"], h_in)
+    else:
+        if collect_stats:
+            h_in = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
+                                   cfg.rms_norm_eps)
+            stats["gate_up_proj"] = _absmax_in(h_in)
+        gate_up = dispatch.norm_linear(layer_params["gate_up_proj"], x,
+                                       _algo("gate_up_proj"),
+                                       layer_params["post_norm"]["w"],
+                                       eps=cfg.rms_norm_eps)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        h = (jax.nn.silu(gate.astype(jnp.float32)) *
+             up.astype(jnp.float32)).astype(x.dtype)
+        if collect_stats:
+            stats["down_proj"] = _absmax_in(h)
+        h = dispatch.linear(layer_params["down_proj"], h,
+                            _algo("down_proj"))
     out = x + h.astype(x.dtype)
     if collect_stats:
         return out, new_cache, stats

@@ -41,14 +41,29 @@ def hf_layer_weights(hf: Mapping[str, np.ndarray], i: int, prefix: str = "model"
         "qkv_proj": jnp.concatenate(
             [_t(hf[p + f"self_attn.{n}_proj.weight"]) for n in "qkv"], axis=1),
         "o_proj": _t(hf[p + "self_attn.o_proj.weight"]),
-        "gate_up_proj": jnp.concatenate(
-            [_t(hf[p + "mlp.gate_proj.weight"]),
-             _t(hf[p + "mlp.up_proj.weight"])], axis=1),
-        "down_proj": _t(hf[p + "mlp.down_proj.weight"]),
         "input_norm": jnp.asarray(np.asarray(hf[p + "input_layernorm.weight"])),
         "post_norm": jnp.asarray(
             np.asarray(hf[p + "post_attention_layernorm.weight"])),
     }
+    if p + "block_sparse_moe.gate.weight" in hf:   # Mixtral MoE layer
+        ne = 0
+        while p + f"block_sparse_moe.experts.{ne}.w1.weight" in hf:
+            ne += 1
+        out["router_w"] = _t(hf[p + "block_sparse_moe.gate.weight"])
+        out["experts_gate_up"] = jnp.stack([
+            jnp.concatenate(
+                [_t(hf[p + f"block_sparse_moe.experts.{e}.w1.weight"]),
+                 _t(hf[p + f"block_sparse_moe.experts.{e}.w3.weight"])],
+                axis=1)
+            for e in range(ne)])
+        out["experts_down"] = jnp.stack([
+            _t(hf[p + f"block_sparse_moe.experts.{e}.w2.weight"])
+            for e in range(ne)])
+    else:
+        out["gate_up_proj"] = jnp.concatenate(
+            [_t(hf[p + "mlp.gate_proj.weight"]),
+             _t(hf[p + "mlp.up_proj.weight"])], axis=1)
+        out["down_proj"] = _t(hf[p + "mlp.down_proj.weight"])
     if p + "self_attn.q_proj.bias" in hf:
         out["qkv_bias"] = jnp.concatenate(
             [jnp.asarray(np.asarray(hf[p + f"self_attn.{n}_proj.bias"]))
@@ -85,7 +100,23 @@ def _quantize_layer(cfg: ModelConfig, float_layer: Dict[str, jnp.ndarray],
         "input_norm": {"w": float_layer["input_norm"].astype(jnp.float32)},
         "post_norm": {"w": float_layer["post_norm"].astype(jnp.float32)},
     }
-    for mod in LINEAR_MODULES:
+    if cfg.num_experts > 0:
+        from . import moe as moe_mod
+        algo = cfg.module_algo("gate_up_proj")
+        if algo.is_mix:  # experts run weight-only
+            algo = (QuantAlgo.W8A16 if algo == QuantAlgo.INT8_MIX
+                    else QuantAlgo.W4A16)
+        out["moe"] = {
+            "router": {"w": float_layer["router_w"].astype(jnp.bfloat16)},
+            "gate_up": moe_mod.quantize_expert_linear(
+                float_layer["experts_gate_up"], algo),
+            "down": moe_mod.quantize_expert_linear(
+                float_layer["experts_down"], algo),
+        }
+        mods = ("qkv_proj", "o_proj")
+    else:
+        mods = LINEAR_MODULES
+    for mod in mods:
         w = float_layer[mod]
         algo = cfg.module_algo(mod)
         bias = float_layer.get("qkv_bias") if mod == "qkv_proj" else None
@@ -168,6 +199,17 @@ def init_random_params(cfg: ModelConfig, key: jax.Array,
         }
         if cfg.qkv_bias:
             fl["qkv_bias"] = jnp.zeros((cfg.qkv_out,), jnp.float32)
+        if cfg.num_experts > 0:
+            ek = jax.random.split(lk[2], cfg.num_experts + 1)
+            fl["router_w"] = rnd(ek[0], cfg.hidden_size, cfg.num_experts)
+            fl["experts_gate_up"] = jnp.stack([
+                rnd(ek[1 + e], cfg.hidden_size, 2 * cfg.intermediate_size)
+                for e in range(cfg.num_experts)])
+            fl["experts_down"] = jnp.stack([
+                rnd(jax.random.fold_in(ek[1 + e], 1), cfg.intermediate_size,
+                    cfg.hidden_size)
+                for e in range(cfg.num_experts)])
+            del fl["gate_up_proj"], fl["down_proj"]
         layers.append(_quantize_layer(cfg, fl, act_scales, i))
 
     params: Dict = {
@@ -185,7 +227,9 @@ def init_random_params(cfg: ModelConfig, key: jax.Array,
 
 def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()) -> ModelConfig:
     """transformers LlamaConfig/Qwen2Config -> ModelConfig."""
-    arch = "qwen2" if "qwen2" in hf_config.model_type.lower() else "llama"
+    mt = hf_config.model_type.lower()
+    arch = "qwen2" if "qwen2" in mt else ("mixtral" if "mixtral" in mt
+                                          else "llama")
     head_dim = getattr(hf_config, "head_dim", None) or (
         hf_config.hidden_size // hf_config.num_attention_heads)
     return ModelConfig(
@@ -203,6 +247,8 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()) -> ModelConfig
         max_position_embeddings=hf_config.max_position_embeddings,
         qkv_bias=(arch == "qwen2"),
         sliding_window=getattr(hf_config, "sliding_window", None) or 0,
+        num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        top_k_experts=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         quant=quant,
     )

@@ -14,6 +14,7 @@ from . import llama
 SUPPORTED_ARCHS = {
     "llama": "llama",
     "mistral": "llama",
+    "mixtral": "mixtral",
     "qwen2": "qwen2",
 }
 

@@ -54,6 +54,21 @@ def param_specs(params: Dict) -> Dict:
         if module in _MODULE_KIND:
             specs["layers"][module] = {
                 t: _layer_spec(module, t) for t in tensors}
+        elif module == "moe":
+            # expert parallelism: the expert axis rides 'tp' (the reference
+            # nests moe_ep inside the TP group, mapping.py:102-103); GSPMD
+            # inserts the combine-psum from the einsum over experts
+            specs["layers"][module] = {
+                "router": {"w": P("pp", None, None)},
+                "gate_up": {t: P("pp", "tp", None, None)
+                            for t in tensors["gate_up"]},
+                "down": {t: P("pp", "tp", None, None)
+                         for t in tensors["down"]},
+            }
+            for sub in ("gate_up", "down"):
+                if "scale_col" in tensors[sub]:
+                    specs["layers"][module][sub]["scale_col"] = \
+                        P("pp", "tp", None)
         else:  # norms
             specs["layers"][module] = {t: P("pp", None) for t in tensors}
     if "lm_head" in params:

@@ -1,0 +1,187 @@
+"""MoE (Mixtral) tests: router semantics, per-token-loop parity, HF
+conversion, end-to-end generation, checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import (ModelConfig, forward,
+                                          init_kv_cache, llama as mllama)
+from mixq_tensorrt_llm_tpu.models.moe import (moe_mlp,
+                                              quantize_expert_linear,
+                                              router_probs)
+from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
+
+
+def moe_cfg(**kw):
+    base = dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                max_position_embeddings=64, num_experts=4, top_k_experts=2)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+class TestRouter:
+    def test_topk_renormalized(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16))
+        rw = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+        w = router_probs(x, rw, top_k=2)
+        w = np.asarray(w)
+        assert ((w > 0).sum(-1) == 2).all()        # exactly top-2 kept
+        np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestMoEBlock:
+    def test_matches_per_token_loop(self):
+        """Dense-dispatch einsum MoE == explicit per-token expert mixing."""
+        cfg = moe_cfg()
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 4)
+        h, i, e = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+        gu = jax.random.normal(ks[0], (e, h, 2 * i)) * 0.05
+        dn = jax.random.normal(ks[1], (e, i, h)) * 0.05
+        rw = jax.random.normal(ks[2], (h, e))
+        params = {"router": {"w": rw.astype(jnp.bfloat16)},
+                  "gate_up": quantize_expert_linear(gu, QuantAlgo.NONE),
+                  "down": quantize_expert_linear(dn, QuantAlgo.NONE)}
+        x = jax.random.normal(ks[3], (1, 5, h)).astype(jnp.bfloat16)
+
+        got = np.asarray(moe_mlp(cfg, params, x), np.float32)
+
+        weights = np.asarray(router_probs(x, params["router"]["w"], 2))
+        want = np.zeros((1, 5, h), np.float32)
+        xb = np.asarray(x, np.float32)
+        gu16 = np.asarray(gu.astype(jnp.bfloat16), np.float32)
+        dn16 = np.asarray(dn.astype(jnp.bfloat16), np.float32)
+        for t in range(5):
+            acc = np.zeros((h,), np.float32)
+            for ee in range(e):
+                if weights[0, t, ee] > 0:
+                    z = xb[0, t] @ gu16[ee]
+                    g, u = z[:i], z[i:]
+                    act = g / (1 + np.exp(-g)) * u
+                    acc += weights[0, t, ee] * (act @ dn16[ee])
+            want[0, t] = acc
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+    def test_quantized_close_to_float(self):
+        cfg = moe_cfg(quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 4)
+        h, i, e = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+        gu = jax.random.normal(ks[0], (e, h, 2 * i)) * 0.05
+        dn = jax.random.normal(ks[1], (e, i, h)) * 0.05
+        rw = jax.random.normal(ks[2], (h, e))
+        x = jax.random.normal(ks[3], (2, 4, h)).astype(jnp.bfloat16)
+
+        pf = {"router": {"w": rw.astype(jnp.bfloat16)},
+              "gate_up": quantize_expert_linear(gu, QuantAlgo.NONE),
+              "down": quantize_expert_linear(dn, QuantAlgo.NONE)}
+        pq = {"router": {"w": rw.astype(jnp.bfloat16)},
+              "gate_up": quantize_expert_linear(gu, QuantAlgo.W8A16),
+              "down": quantize_expert_linear(dn, QuantAlgo.W8A16)}
+        yf = np.asarray(moe_mlp(moe_cfg(), pf, x), np.float32)
+        yq = np.asarray(moe_mlp(cfg, pq, x), np.float32)
+        rel = np.linalg.norm(yq - yf) / np.linalg.norm(yf)
+        assert rel < 0.05, rel
+
+
+class TestMoEModel:
+    def test_e2e_generation(self):
+        cfg = moe_cfg(quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+        params = mllama.init_random_params(cfg, jax.random.PRNGKey(4))
+        assert "moe" in params["layers"]
+        assert params["layers"]["moe"]["gate_up"]["qweight"].shape == \
+            (2, 4, 64, 192)   # (L, E, H, 2I)
+
+        from mixq_tensorrt_llm_tpu.runtime import GenerationSession
+        sess = GenerationSession(params, cfg, max_seq_len=32,
+                                 prefill_buckets=(8,))
+        a = sess.generate([[1, 2, 3]], 5)
+        b = sess.generate([[1, 2, 3]], 5)
+        assert a.sequences == b.sequences
+        assert len(a.sequences[0]) == 8
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from mixq_tensorrt_llm_tpu.convert import (load_checkpoint,
+                                                   save_checkpoint)
+        cfg = moe_cfg(quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+        params = mllama.init_random_params(cfg, jax.random.PRNGKey(5))
+        save_checkpoint(str(tmp_path / "moe"), params, cfg)
+        back, cfg2 = load_checkpoint(str(tmp_path / "moe"))
+        assert cfg2.num_experts == 4
+        toks = jnp.array([[1, 2, 3]], jnp.int32)
+        la, _ = forward(params, cfg, toks, jnp.arange(3)[None],
+                        init_kv_cache(cfg, 1, 8), jnp.array([3], jnp.int32))
+        lb, _ = forward(back, cfg2, toks, jnp.arange(3)[None],
+                        init_kv_cache(cfg2, 1, 8), jnp.array([3], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+class TestMixtralHF:
+    def test_hf_conversion_and_parity(self):
+        torch = pytest.importorskip("torch")
+        from transformers import MixtralConfig, MixtralForCausalLM
+        hf_cfg = MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            sliding_window=None, attn_implementation="eager")
+        torch.manual_seed(0)
+        model = MixtralForCausalLM(hf_cfg).eval().float()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+        cfg = mllama.config_from_hf(hf_cfg)
+        assert cfg.arch == "mixtral" and cfg.num_experts == 4
+        params = mllama.params_from_hf(cfg, sd)
+
+        tokens = np.array([[3, 17, 100, 5, 90]], np.int32)
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(tokens, dtype=torch.long)
+                              ).logits.numpy()
+        logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                            jnp.arange(5)[None], init_kv_cache(cfg, 1, 8),
+                            jnp.array([5], jnp.int32))
+        got = np.asarray(logits)
+        assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
+        np.testing.assert_allclose(got, hf_logits, rtol=0.15, atol=0.2)
+
+
+class TestMoEExpertParallel:
+    def test_ep_sharded_forward_matches(self):
+        """Experts sharded over the tp axis (MoE-EP) give the same logits."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from jax.sharding import NamedSharding
+        from mixq_tensorrt_llm_tpu.parallel import Mapping, param_specs
+
+        cfg = moe_cfg(num_kv_heads=2,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+        params = mllama.init_random_params(cfg, jax.random.PRNGKey(7))
+        toks = jnp.array([[1, 2, 3, 4]], jnp.int32)
+        pos = jnp.arange(4)[None]
+        lens = jnp.array([4], jnp.int32)
+        want, _ = forward(params, cfg, toks, pos, init_kv_cache(cfg, 1, 8),
+                          lens)
+
+        mapping = Mapping(tp=4)   # kv heads (2) not sharded here: ep-only
+        mesh = mapping.make_mesh(jax.devices()[:4])
+        specs = param_specs(params)
+        # shard ONLY the moe experts for this test (attention stays local)
+        sharded = jax.tree.map(lambda x: x, params)
+        sharded["layers"]["moe"] = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params["layers"]["moe"], specs["layers"]["moe"])
+        with jax.set_mesh(mesh):
+            got, _ = jax.jit(
+                lambda p: forward(p, cfg, toks, pos,
+                                  init_kv_cache(cfg, 1, 8), lens))(sharded)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-2, atol=3e-2)
