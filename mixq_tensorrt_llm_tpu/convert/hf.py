@@ -48,14 +48,6 @@ def load_hf_config(hf_dir: str):
     return AutoConfig.from_pretrained(hf_dir)
 
 
-def _fix_tied_lm_head(sd: Mapping[str, np.ndarray], hf_config) -> Dict:
-    sd = dict(sd)
-    if "lm_head.weight" not in sd and getattr(hf_config, "tie_word_embeddings",
-                                              False):
-        pass  # handled by cfg.tie_word_embeddings (logits use embed.T)
-    return sd
-
-
 def quantize_hf_model(
     hf_dir: str,
     output_dir: str,
@@ -78,7 +70,9 @@ def quantize_hf_model(
     if dtype is not None:
         import dataclasses
         cfg = dataclasses.replace(cfg, dtype=dtype)
-    sd = _fix_tied_lm_head(load_hf_state_dict(hf_dir), hf_config)
+    # tied lm_head needs no fixup: cfg.tie_word_embeddings makes the
+    # forward use embed.T for logits
+    sd = load_hf_state_dict(hf_dir)
 
     if act_scales is None and act_scales_path:
         act_scales = calib.load_act_scales(act_scales_path)

@@ -17,12 +17,11 @@ broadcasting tokens between engine stages, generation.py:2528).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.common import ModelConfig
