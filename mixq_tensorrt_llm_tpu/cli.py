@@ -29,6 +29,9 @@ def _add_quantize(sub):
                    help="text file for in-graph calibration")
     p.add_argument("--calib_samples", type=int, default=32)
     p.add_argument("--calib_seq_len", type=int, default=512)
+    p.add_argument("--lora_dir", default=None,
+                   help="PEFT adapter dir merged into base weights before "
+                        "quantization")
     return p
 
 
@@ -51,7 +54,8 @@ def _cmd_quantize(args):
         calib_batches = [np.asarray(b, np.int32)[None] for b in blocks]
     cfg = quantize_hf_model(args.model_dir, args.output_dir, quant,
                             act_scales_path=args.act_scales,
-                            calib_batches=calib_batches)
+                            calib_batches=calib_batches,
+                            lora_dir=args.lora_dir)
     print(f"wrote {args.output_dir} ({cfg.arch}, {cfg.num_layers} layers, "
           f"{quant.algo.value})")
 

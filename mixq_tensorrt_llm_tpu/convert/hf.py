@@ -56,6 +56,7 @@ def quantize_hf_model(
     act_scales_path: Optional[str] = None,
     calib_batches: Optional[Iterable[np.ndarray]] = None,
     dtype=None,
+    lora_dir: Optional[str] = None,
 ) -> ModelConfig:
     """Full pipeline: HF dir -> (calibration) -> quantize -> checkpoint dir.
 
@@ -73,6 +74,9 @@ def quantize_hf_model(
     # tied lm_head needs no fixup: cfg.tie_word_embeddings makes the
     # forward use embed.T for logits
     sd = load_hf_state_dict(hf_dir)
+    if lora_dir:
+        from .lora import merge_lora_into_state_dict
+        sd = merge_lora_into_state_dict(sd, lora_dir)
 
     if act_scales is None and act_scales_path:
         act_scales = calib.load_act_scales(act_scales_path)
