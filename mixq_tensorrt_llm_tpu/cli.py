@@ -72,6 +72,9 @@ def _add_generate(sub):
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run_profiling", action="store_true",
+                   help="print prefill/decode timing breakdown "
+                        "(reference run.py --run_profiling)")
     return p
 
 
@@ -83,12 +86,22 @@ def _cmd_generate(args):
     sampling = SamplingConfig(greedy=args.temperature == 0.0,
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
-    outs = llm.generate(list(args.prompt),
-                        max_new_tokens=args.max_new_tokens,
-                        sampling=sampling, seed=args.seed)
-    for prompt, text in zip(args.prompt, outs):
+    token_lists = [llm.tokenizer(p)["input_ids"] for p in args.prompt]
+    out = llm.generate_tokens(token_lists,
+                              max_new_tokens=args.max_new_tokens,
+                              sampling=sampling, seed=args.seed,
+                              eos_token_id=llm.tokenizer.eos_token_id)
+    for prompt, seq, tl in zip(args.prompt, out.sequences, token_lists):
         print(f"--- prompt: {prompt!r}")
-        print(text)
+        print(llm.tokenizer.decode(seq[len(tl):], skip_special_tokens=True))
+    if args.run_profiling:
+        n_gen = sum(out.num_generated)
+        print(json.dumps({
+            "prefill_s": round(out.prefill_time_s, 4),
+            "decode_s": round(out.decode_time_s, 4),
+            "generated_tokens": n_gen,
+            "decode_tok_s": round(out.decode_tokens_per_s, 1),
+        }))
 
 
 def _add_eval(sub):
