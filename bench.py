@@ -52,7 +52,6 @@ def build(cfg_kw, quant, batch, seq):
     cfg = ModelConfig(**cfg_kw, quant=quant)
     t0 = time.time()
     params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
-    params = jax.tree.map(jax.device_put, params)
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0,
                                 cfg.vocab_size, dtype=jnp.int32)
     pos = jnp.tile(jnp.arange(seq, dtype=jnp.int32), (batch, 1))
@@ -122,6 +121,11 @@ def main():
                 raise
             batch //= 2
             log(f"[bench] OOM; retrying with bs={batch}")
+            handles = None
+            import gc
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
     tok_s = batch * seq / t_mix
     log(f"[bench] int8_mix: {t_mix * 1e3:.1f} ms/step -> {tok_s:,.0f} tok/s")
     del handles

@@ -65,7 +65,7 @@ def main():
     iters = args.iters
 
     @jax.jit
-    def run(tokens, state, lens):
+    def run(params, tokens, state, lens):
         def body(i, carry):
             tokens, state, lens, acc = carry
             pos = lens[:, None].astype(jnp.int32)
@@ -79,12 +79,12 @@ def main():
         return out[3]
 
     t0 = time.time()
-    float(run(tok0, state, lens0))
+    float(run(params, tok0, state, lens0))
     print(f"compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
     best = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
-        float(run(tok0, state, lens0))
+        float(run(params, tok0, state, lens0))
         best = min(best, (time.perf_counter() - t0) / iters)
 
     scale = 32 / args.layers
