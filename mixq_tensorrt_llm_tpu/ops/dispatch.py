@@ -15,8 +15,9 @@ Param schemas (weights in (in, out) "kernel" layout):
               "fp_weight": bf16 (k, out)} [+ "b"]
   INT4_MIX:  same with int4-valued qweight
 
-Backend: "ref" uses the jnp reference ops (XLA fusion only); "pallas" uses
-the hand-written TPU kernels. Default is pallas on TPU, ref elsewhere.
+Backend: "ref" (the default) composes XLA dots; "pallas" forces the
+full-Pallas kernels (kept for comparison and for other TPU generations).
+See default_backend() for the measurements behind the default.
 """
 
 from __future__ import annotations
@@ -114,14 +115,20 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
         else:
             out = ref.wo_matmul(x2, qw, params["scale_col"], out_dtype=x.dtype)
     elif algo.is_mix:
-        qw = _unpacked_qweight(params)
         if backend == "pallas":
+            qw = _unpacked_qweight(params)
             from . import mixed_matmul as mk
             out = mk.mix_linear(x2, qw, params["scale_col"], params["fp_ind"],
                                 params["fp_weight"], out_dtype=x.dtype)
         else:
-            out = ref.mix_linear(x2, qw, params["scale_col"], params["fp_ind"],
-                                 params["fp_weight"], out_dtype=x.dtype)
+            # NOTE: per-shape hybrid (XLA dot + Pallas epilogue) schedules
+            # beat all-XLA in *isolated* kernel probes (~10%/shape) but
+            # made zero difference in the full model step — XLA overlaps
+            # the epilogue with neighboring ops. Keep the simple path.
+            qw = _unpacked_qweight(params)
+            out = ref.mix_linear(x2, qw, params["scale_col"],
+                                 params["fp_ind"], params["fp_weight"],
+                                 out_dtype=x.dtype)
     else:
         raise ValueError(f"unknown algo {algo}")
 
