@@ -138,6 +138,24 @@ class Executor:
                                   eos_token_id, on_token=on_token))
         return rid
 
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a queued or in-flight request (reference executor
+        cancelRequest). Finished requests cannot be cancelled. Returns
+        whether anything was cancelled; a cancelled in-flight request is
+        finalized with whatever tokens it had."""
+        for i, req in enumerate(self.queue):
+            if req.req_id == req_id:
+                del self.queue[i]
+                req.done = True
+                req.finish_time = time.perf_counter()
+                self.finished[req_id] = req
+                return True
+        for req in self.slots:
+            if req is not None and req.req_id == req_id:
+                self._finish(req)
+                return True
+        return False
+
     @property
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)

@@ -141,3 +141,21 @@ class TestExecutor:
         r = done[rid]
         assert r.first_token_time is not None
         assert r.finish_time >= r.first_token_time >= r.submit_time
+
+
+class TestCancel:
+    def test_cancel_queued_and_active(self, quantized_model):
+        params, cfg = quantized_model
+        ex = Executor(params, cfg, max_batch=1, max_seq_len=64,
+                      block_size=8, prefill_chunk=16)
+        a = ex.submit([1, 2, 3], max_new_tokens=20)
+        b = ex.submit([4, 5, 6], max_new_tokens=20)   # queued (1 slot)
+        ex.step()   # admits a, generates
+        assert ex.cancel(b)          # cancel while queued
+        assert ex.cancel(a)          # cancel while in flight
+        done = ex.run()
+        assert done[b].generated == []
+        assert 1 <= len(done[a].generated) < 20
+        assert not ex.cancel(a)      # already finished
+        # pool fully released
+        assert ex.bm.num_free == ex.bm.num_blocks - 1
