@@ -3,7 +3,7 @@
 TPU-native re-design of the reference's paged KV stack
 (tensorrt_llm/runtime/kv_cache_manager.py — BlocksManager ref-counted pages
 :66-244, KVCacheManager sliding/sink windows :246-378): device state is a
-fixed block pool (L, num_blocks, block_size, Hkv, D) addressed through
+fixed block pool (L, num_blocks, Hkv, block_size, D) addressed through
 int32 block tables (per-sequence page lists), so variable-length sequences
 live in static shapes and the decode step stays a single compiled program.
 The free-list/refcount logic is host-side Python exactly like the
@@ -176,7 +176,7 @@ def paged_write(layer_caches, block_table: jax.Array,
                 quantized: bool, valid: Optional[jax.Array] = None):
     """Scatter new kv at absolute positions into the pool (one layer view).
 
-    layer_caches: dict of this layer's pool slices {k (NB,BS,H,D), ...}
+    layer_caches: dict of this layer's pool slices {k (NB,H,BS,D), ...}
     block_table:  (B, max_blocks) int32
     write_pos:    (B, S) absolute token positions
     new_k/new_v:  (B, S, H, D)
