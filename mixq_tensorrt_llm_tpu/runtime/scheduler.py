@@ -5,16 +5,25 @@ TPU-native replacement for the reference's C++ Executor / ModelRunnerCpp
 bin/executorWorker — inflight batching, paged KV, chunked context;
 SURVEY T10 "must be built from scratch"): a host-side scheduler admits and
 evicts requests between steps while the device runs exactly two compiled
-programs — a bucketed chunked prefill and a fixed-width decode step. Slots
-are masked, never re-shaped, so no step ever recompiles.
+programs — a fixed-width batched chunked prefill and a fixed-width decode
+step. Slots are masked, never re-shaped, so no step ever recompiles.
 
 Design notes:
-  * prefill is chunked (reference --enable_chunked_context, run.py:392):
-    long prompts stream through a fixed (1, chunk) program writing pages.
+  * prefill is chunked (reference --enable_chunked_context, run.py:392) and
+    NON-BLOCKING: each step() advances every in-flight prefill by one chunk
+    in a single batched program, then runs the decode step for the already
+    decoding slots — a long prompt admission adds one chunk of latency per
+    decode step instead of stalling the world (the reference fuses context
+    and generation phases into one engine invocation; two fixed-shape
+    programs per step is the XLA-native equivalent — no recompiles, and the
+    chunk size bounds decode latency).
   * decode runs all slots every step; inactive slots point at the reserved
     trash block with valid_len=1 so their lanes stay finite and harmless.
-  * per-request sampling configs are honored by re-sampling only the lanes
-    whose config differs from the batch default (rare in practice).
+  * per-request SamplingConfig (reference: per-Request SamplingConfig in
+    bindings/executor.pyi) is honored by passing every sampling parameter
+    as a traced per-lane array (sampler.SamplingParams) — heterogeneous
+    temperature/top-k/top-p/greedy/repetition-penalty batches run in the
+    same compiled program.
 """
 
 from __future__ import annotations
@@ -32,7 +41,9 @@ import numpy as np
 from ..models import common as mcommon
 from ..models.common import ModelConfig
 from .kv_cache import BlockManager, PagedKVState, init_paged_kv
-from .sampler import SamplingConfig, sample
+from .sampler import SamplingConfig, SamplingParams, batch_params, sample_batched
+
+HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
 
 
 @dataclasses.dataclass
@@ -41,12 +52,15 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_token_id: Optional[int] = None
+    sampling: Optional[SamplingConfig] = None   # None = executor default
+    min_new_tokens: int = 0
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     submit_time: float = dataclasses.field(default_factory=time.perf_counter)
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
     on_token: Optional[object] = None   # streaming callback(req, token)
+    prefill_pos: int = 0                # tokens already prefilled
 
     @property
     def sequence(self) -> List[int]:
@@ -60,6 +74,7 @@ class Executor:
                  max_seq_len: int = 2048, block_size: int = 64,
                  num_blocks: Optional[int] = None,
                  prefill_chunk: int = 256,
+                 prefill_lanes: int = 4,
                  sampling: SamplingConfig = SamplingConfig(),
                  seed: int = 0):
         from ..ops._util import _on_tpu
@@ -89,34 +104,47 @@ class Executor:
 
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
+        self.prefilling: List[Request] = []   # admitted, pages held, not decoding
         self._next_id = 0
         self.finished: Dict[int, Request] = {}
         self.prefill_chunk = prefill_chunk
+        self.prefill_lanes = max(1, min(prefill_lanes, max_batch))
 
         cfg_s = cfg
         mb = self.max_blocks_per_seq
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_chunk_fn(params, tokens, state, block_table, start, length):
-            """tokens (1, C) chunk starting at absolute position `start`;
-            length = total valid tokens written so far + this chunk."""
+        def prefill_chunk_fn(params, tokens, state, block_table, start,
+                             length, key, samp, history,
+                             suppress_token, suppress_flag):
+            """tokens (P, C): one chunk per lane starting at per-lane
+            absolute position `start`; length (P,) = total valid tokens
+            written after this chunk (0 disables a lane: all its page
+            writes mask to the trash block). Returns per-lane sampled
+            first tokens (used only for lanes whose prefill completes)."""
             c = tokens.shape[1]
             pos = start[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
             logits, state = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table, length)
             last = jnp.take_along_axis(
                 logits, jnp.clip(length - start - 1, 0, c - 1)[:, None, None],
-                axis=1)
-            return last[:, 0], state
+                axis=1)[:, 0]
+            tok = sample_batched(last, key, samp, history=history,
+                                 suppress_token=suppress_token,
+                                 suppress_flag=suppress_flag)
+            return tok, state
 
-        @functools.partial(jax.jit, donate_argnums=(2,),
-                           static_argnames=("sampling",))
-        def decode_fn(params, tokens, state, block_table, lens, key, sampling):
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_fn(params, tokens, state, block_table, lens, key, samp,
+                      history, suppress_token, suppress_flag):
             pos = lens[:, None].astype(jnp.int32)
             logits, state = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table,
                 jnp.maximum(lens + 1, 1))
-            next_tok = sample(logits[:, 0], key, sampling)
+            next_tok = sample_batched(logits[:, 0], key, samp,
+                                      history=history,
+                                      suppress_token=suppress_token,
+                                      suppress_flag=suppress_flag)
             return next_tok, state
 
         self._prefill = prefill_chunk_fn
@@ -125,9 +153,13 @@ class Executor:
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None,
+               sampling: Optional[SamplingConfig] = None,
+               min_new_tokens: int = 0,
                on_token=None) -> int:
-        """on_token(request, token) is called for every generated token
-        (streaming; reference streaming generation T8/T16)."""
+        """Queue a request. `sampling` overrides the executor default for
+        this request only (per-request SamplingConfig, reference
+        bindings/executor.pyi Request.sampling_config). on_token(request,
+        token) is called for every generated token (streaming)."""
         if len(prompt) + max_new_tokens > self.max_seq_len:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -135,7 +167,9 @@ class Executor:
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(rid, list(prompt), max_new_tokens,
-                                  eos_token_id, on_token=on_token))
+                                  eos_token_id, sampling=sampling,
+                                  min_new_tokens=min_new_tokens,
+                                  on_token=on_token))
         return rid
 
     def cancel(self, req_id: int) -> bool:
@@ -146,6 +180,14 @@ class Executor:
         for i, req in enumerate(self.queue):
             if req.req_id == req_id:
                 del self.queue[i]
+                req.done = True
+                req.finish_time = time.perf_counter()
+                self.finished[req_id] = req
+                return True
+        for req in self.prefilling:
+            if req.req_id == req_id:
+                self.prefilling.remove(req)
+                self.bm.free_sequence(req.req_id)
                 req.done = True
                 req.finish_time = time.perf_counter()
                 self.finished[req_id] = req
@@ -162,45 +204,83 @@ class Executor:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.queue) or self.num_active > 0
+        return bool(self.queue) or bool(self.prefilling) or self.num_active > 0
 
     # ------------------------------------------------------------------
+    def _free_slots(self) -> int:
+        return self.max_batch - self.num_active - len(self.prefilling)
+
     def _admit(self) -> None:
-        for slot in range(self.max_batch):
-            if self.slots[slot] is not None or not self.queue:
-                continue
+        """Move queued requests into the prefilling set (pages reserved)."""
+        while (self.queue and self._free_slots() > 0
+               and len(self.prefilling) < self.prefill_lanes):
             req = self.queue[0]
             if not self.bm.can_allocate(len(req.prompt) + 1):
                 break   # FIFO: wait for pages rather than starve long reqs
             self.queue.popleft()
             self.bm.add_sequence(req.req_id, len(req.prompt))
-            self.slots[slot] = req
-            self._run_prefill(req)
+            self.prefilling.append(req)
 
-    def _run_prefill(self, req: Request) -> None:
-        n = len(req.prompt)
+    def _history(self, reqs: Sequence[Optional[Request]]) -> np.ndarray:
+        """(len(reqs), HISTORY_W) recent-token window, -1 padded."""
+        out = np.full((len(reqs), HISTORY_W), -1, np.int32)
+        for i, req in enumerate(reqs):
+            if req is None:
+                continue
+            tail = req.sequence[-HISTORY_W:]
+            out[i, :len(tail)] = tail
+        return out
+
+    def _step_prefill(self) -> None:
+        """Advance every in-flight prefill by one chunk (one batched call)."""
+        if not self.prefilling:
+            return
+        p = self.prefill_lanes
         chunk = self.prefill_chunk
-        table = jnp.asarray(self.bm.block_table([req.req_id],
-                                                self.max_blocks_per_seq))
-        last_logits = None
-        for c0 in range(0, n, chunk):
-            toks = np.zeros((1, chunk), np.int32)
+        lanes = self.prefilling[:p]
+        tokens = np.zeros((p, chunk), np.int32)
+        start = np.zeros((p,), np.int32)
+        length = np.zeros((p,), np.int32)   # 0 disables the lane
+        table = np.zeros((p, self.max_blocks_per_seq), np.int32)
+        sup_tok = np.full((p,), -1, np.int32)
+        sup_flag = np.zeros((p,), np.int32)
+        for i, req in enumerate(lanes):
+            c0 = req.prefill_pos
             piece = req.prompt[c0: c0 + chunk]
-            toks[0, :len(piece)] = piece
-            last_logits, self.state = self._prefill(
-                self.params, jnp.asarray(toks), self.state, table,
-                jnp.array([c0], jnp.int32),
-                jnp.array([min(n, c0 + chunk)], jnp.int32))
+            tokens[i, :len(piece)] = piece
+            start[i] = c0
+            length[i] = min(len(req.prompt), c0 + chunk)
+            table[i] = self.bm.block_table([req.req_id],
+                                           self.max_blocks_per_seq)[0]
+            if req.eos_token_id is not None and req.min_new_tokens > 0:
+                sup_tok[i] = req.eos_token_id
+                sup_flag[i] = 1
+        samp = batch_params(
+            [r.sampling or self.sampling for r in lanes]
+            + [None] * (p - len(lanes)))
         self.key, sub = jax.random.split(self.key)
-        tok = int(sample(last_logits, sub, self.sampling)[0])
-        req.first_token_time = time.perf_counter()
-        self._append_token(req, tok)
+        tok, self.state = self._prefill(
+            self.params, jnp.asarray(tokens), self.state, jnp.asarray(table),
+            jnp.asarray(start), jnp.asarray(length), sub, samp,
+            jnp.asarray(self._history(list(lanes) + [None] * (p - len(lanes)))),
+            jnp.asarray(sup_tok), jnp.asarray(sup_flag))
+        tok_np = np.asarray(tok)
+        for i, req in enumerate(lanes):
+            req.prefill_pos = int(length[i])
+            if req.prefill_pos >= len(req.prompt):
+                # prefill complete: emit first token, join the decode batch
+                self.prefilling.remove(req)
+                slot = self.slots.index(None)
+                self.slots[slot] = req
+                req.first_token_time = time.perf_counter()
+                self._append_token(req, int(tok_np[i]))
 
     def _append_token(self, req: Request, tok: int) -> None:
         req.generated.append(tok)
         if req.on_token is not None:
             req.on_token(req, tok)
-        hit_eos = (req.eos_token_id is not None and tok == req.eos_token_id)
+        hit_eos = (req.eos_token_id is not None and tok == req.eos_token_id
+                   and len(req.generated) > req.min_new_tokens)
         if hit_eos or len(req.generated) >= req.max_new_tokens:
             self._finish(req)
 
@@ -213,15 +293,25 @@ class Executor:
 
     # ------------------------------------------------------------------
     def step(self) -> int:
-        """Admit + one batched decode step. Returns tokens produced."""
+        """Admit + one prefill chunk + one batched decode step.
+
+        Returns tokens produced (decode lanes + completed prefills)."""
         self._admit()
+        produced_before = sum(len(r.generated) for r in self.slots
+                              if r is not None)
+        self._step_prefill()
+        produced_prefill = sum(len(r.generated) for r in self.slots
+                               if r is not None) - produced_before
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
-            return 0
+            return produced_prefill
 
         tokens = np.zeros((self.max_batch, 1), np.int32)
         lens = np.zeros((self.max_batch,), np.int32)
         table = np.zeros((self.max_batch, self.max_blocks_per_seq), np.int32)
+        sup_tok = np.full((self.max_batch,), -1, np.int32)
+        sup_flag = np.zeros((self.max_batch,), np.int32)
+        configs: List[Optional[SamplingConfig]] = [None] * self.max_batch
         for i, req in active:
             # the incoming token is the last generated one; its absolute
             # position is seq_len - 1 (everything before it is in cache)
@@ -231,21 +321,28 @@ class Executor:
             lens[i] = new_pos
             table[i] = self.bm.block_table([req.req_id],
                                            self.max_blocks_per_seq)[0]
+            configs[i] = req.sampling or self.sampling
+            if (req.eos_token_id is not None
+                    and len(req.generated) < req.min_new_tokens):
+                sup_tok[i] = req.eos_token_id
+                sup_flag[i] = 1
 
         self.key, sub = jax.random.split(self.key)
         next_tok, self.state = self._decode(
             self.params, jnp.asarray(tokens), self.state,
-            jnp.asarray(table), jnp.asarray(lens), sub, self.sampling)
+            jnp.asarray(table), jnp.asarray(lens), sub,
+            batch_params(configs), jnp.asarray(self._history(self.slots)),
+            jnp.asarray(sup_tok), jnp.asarray(sup_flag))
         next_np = np.asarray(next_tok)
         for i, req in active:
             self._append_token(req, int(next_np[i]))
-        return len(active)
+        return len(active) + produced_prefill
 
     def run(self) -> Dict[int, Request]:
         """Drive until all submitted work is finished."""
         while self.has_work:
             produced = self.step()
-            if produced == 0 and self.queue:
+            if produced == 0 and self.queue and not self.prefilling:
                 raise RuntimeError(
                     "scheduler stalled: queue non-empty but nothing "
                     "admittable (KV pool too small for the next request)")

@@ -1,0 +1,157 @@
+"""Per-request sampling + non-blocking batched prefill (VERDICT r1 item 3).
+
+Reference behavior being reproduced: each Request carries its own
+SamplingConfig (bindings/executor.pyi), and inflight batching keeps decode
+advancing while a long context is processed (model_runner_cpp.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+from mixq_tensorrt_llm_tpu.runtime.sampler import (
+    SamplingConfig, batch_params, sample, sample_batched)
+
+
+def tiny_cfg():
+    return ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                       max_position_embeddings=128)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+def test_sample_batched_matches_static():
+    """Uniform-config batches through the traced path == static path."""
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(jax.random.PRNGKey(4), (4, 64), jnp.float32)
+    for cfg in [SamplingConfig(),
+                SamplingConfig(greedy=False, temperature=0.7, top_k=5),
+                SamplingConfig(greedy=False, temperature=1.3, top_p=0.8),
+                SamplingConfig(greedy=False, top_k=3, top_p=0.9)]:
+        a = sample(logits, key, cfg)
+        b = sample_batched(logits, key, batch_params([cfg] * 4))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(cfg))
+
+
+def test_sample_batched_heterogeneous():
+    """Each lane follows its own config inside one call."""
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.array([[0., 10., 0., 0.],
+                                   [0., 10., 0., 0.],
+                                   [0., 0., 0., 5.]], np.float32))
+    params = batch_params([
+        SamplingConfig(),                                   # greedy -> 1
+        SamplingConfig(greedy=False, temperature=100.0),    # ~uniform
+        SamplingConfig(greedy=False, top_k=1),              # top-1 -> 3
+    ])
+    toks = np.asarray(sample_batched(logits, key, params))
+    assert toks[0] == 1
+    assert toks[2] == 3
+    # lane 1 at temperature 100 is near-uniform: over many keys it must
+    # produce something other than the argmax at least once
+    draws = {int(np.asarray(sample_batched(
+        logits, jax.random.PRNGKey(i), params))[1]) for i in range(20)}
+    assert len(draws) > 1
+
+
+def test_per_request_configs_are_independent(setup):
+    """A greedy request batched with a hot-temperature request produces
+    exactly the tokens it would produce alone."""
+    params, cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+
+    solo = Executor(params, cfg, seed=0, **kw)
+    solo.submit([3, 1, 4], max_new_tokens=6, sampling=SamplingConfig())
+    solo_tokens = solo.run()[0].generated
+
+    ex = Executor(params, cfg, seed=0, **kw)
+    g = ex.submit([3, 1, 4], max_new_tokens=6, sampling=SamplingConfig())
+    ex.submit([2, 7], max_new_tokens=6,
+              sampling=SamplingConfig(greedy=False, temperature=3.0))
+    tokens = ex.run()[g].generated
+    assert tokens == solo_tokens
+
+
+def test_stochastic_lane_deterministic_per_seed(setup):
+    params, cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+    outs = []
+    for _ in range(2):
+        ex = Executor(params, cfg, seed=11, **kw)
+        rid = ex.submit([5, 6, 7], max_new_tokens=5,
+                        sampling=SamplingConfig(greedy=False, temperature=2.0,
+                                                top_k=20))
+        outs.append(ex.run()[rid].generated)
+    assert outs[0] == outs[1]
+
+
+def test_min_new_tokens_suppresses_eos(setup):
+    params, cfg = setup
+    kw = dict(max_batch=1, max_seq_len=64, block_size=8, prefill_chunk=8)
+    ex = Executor(params, cfg, seed=0, **kw)
+    rid = ex.submit([1, 2, 3], max_new_tokens=8)
+    first = ex.run()[rid].generated[0]
+
+    # make `first` the eos: with min_new_tokens=4 it must be banned (so the
+    # request runs at least 4 tokens and none of the first 4 can be eos)
+    ex2 = Executor(params, cfg, seed=0, **kw)
+    rid2 = ex2.submit([1, 2, 3], max_new_tokens=8, eos_token_id=first,
+                      min_new_tokens=4)
+    toks = ex2.run()[rid2].generated
+    assert len(toks) >= 4
+    assert first not in toks[:4]
+
+
+def test_prefill_does_not_stall_decode(setup):
+    """While a 4-chunk prompt prefills, an already-decoding request gains
+    one token per step (inflight batching; reference context+gen fusion)."""
+    params, cfg = setup
+    ex = Executor(params, cfg, max_batch=4, max_seq_len=64, block_size=8,
+                  prefill_chunk=8, seed=0)
+    short = ex.submit([1, 2], max_new_tokens=40)
+    ex.step()   # prefills short, emits its first token
+    assert len(ex.finished) == 0 and ex.num_active == 1
+
+    long_prompt = list(np.arange(1, 33) % 50)   # 32 tokens = 4 chunks
+    ex.submit(long_prompt, max_new_tokens=4)
+    short_req = ex.slots[[i for i, r in enumerate(ex.slots)
+                          if r is not None and r.req_id == short][0]]
+    for _ in range(3):   # long request is mid-prefill during these steps
+        before = len(short_req.generated)
+        ex.step()
+        assert len(short_req.generated) == before + 1
+        assert ex.prefilling or ex.num_active == 2
+    ex.run()
+    assert len(ex.finished) == 2
+
+
+def test_batched_prefill_admits_multiple(setup):
+    """Several queued requests prefill together in one batched program and
+    their outputs match serial execution."""
+    params, cfg = setup
+    kw = dict(max_seq_len=64, block_size=8, prefill_chunk=8)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+
+    serial = {}
+    for p in prompts:
+        e = Executor(params, cfg, max_batch=1, prefill_lanes=1, seed=0, **kw)
+        rid = e.submit(p, max_new_tokens=5)
+        serial[tuple(p)] = e.run()[rid].generated
+
+    ex = Executor(params, cfg, max_batch=4, prefill_lanes=4, seed=0, **kw)
+    ids = {ex.submit(p, max_new_tokens=5): tuple(p) for p in prompts}
+    ex.step()
+    assert ex.num_active == 4   # all four prefilled in one batched call
+    done = ex.run()
+    for rid, p in ids.items():
+        assert done[rid].generated == serial[p], p
