@@ -3,13 +3,17 @@
 Reference parity: tensorrt_llm/layers/moe.py (697 LoC: top-k router with
 renormalization, expert-parallel partitioning via moe_tp/moe_ep groups).
 TPU re-design: experts are a stacked leading axis on the weight pytree
-(E, in, out) so the whole MoE block is one batched einsum per projection —
-dense dispatch. Every expert processes every token and the router weights
-zero out non-selected pairs; for the E<=8, top-2 configs of the Mixtral
-line this wastes E/k compute but keeps shapes static, fuses on the MXU,
-and shards cleanly (put the expert axis on the 'ep'/'tp' mesh axis and
-GSPMD turns it into expert parallelism with one psum). A ragged gmm
-(megablox) dispatch is the round-2 upgrade for large E.
+(E, in, out). Two dispatch strategies, both static-shaped:
+
+  * RAGGED (default): tokens are replicated top_k ways, sorted by expert,
+    and run through `jax.lax.ragged_dot` (the megablox grouped-matmul
+    primitive) — each token only visits its k selected experts, so FLOPs
+    are k/E of the dense form (4x saved for Mixtral top-2/8).
+  * DENSE (fallback, MIXQ_MOE_RAGGED=0): one batched einsum per projection
+    where every expert processes every token and router weights zero the
+    rest; wasteful but trivially shardable (expert axis on the 'ep' mesh
+    axis -> GSPMD expert parallelism with one psum), so the multi-chip EP
+    path uses it under shard_map.
 
 Quantization: each expert's gate_up/down weights carry the same
 params-dict schema as dense linears (int8 + per-out-channel scales with a
@@ -59,13 +63,73 @@ def _expert_linear(params: Dict, x: jax.Array, algo: QuantAlgo) -> jax.Array:
     return out
 
 
-def moe_mlp(cfg: ModelConfig, moe_params: Dict, x: jax.Array) -> jax.Array:
+def _use_ragged() -> bool:
+    import os
+    return os.environ.get("MIXQ_MOE_RAGGED", "1") != "0"
+
+
+def _dequant_stack(params: Dict) -> jax.Array:
+    """Expert-stacked weight (E, in, out) in bf16 (weight-only dequant)."""
+    if "w" in params:
+        return params["w"].astype(jnp.bfloat16)
+    return (params["qweight"].astype(jnp.float32)
+            * params["scale_col"][:, None, :]).astype(jnp.bfloat16)
+
+
+def moe_mlp(cfg: ModelConfig, moe_params: Dict, x: jax.Array,
+            ragged: bool = None) -> jax.Array:
     """Full MoE block. x (B,S,H) -> (B,S,H).
 
     moe_params: {"router": {"w" (H,E)},
                  "gate_up": expert-stacked linear (E, H, 2I),
                  "down":    expert-stacked linear (E, I, H)}
     """
+    if ragged is None:
+        ragged = _use_ragged()
+    if ragged:
+        return _moe_mlp_ragged(cfg, moe_params, x)
+    return _moe_mlp_dense(cfg, moe_params, x)
+
+
+def _moe_mlp_ragged(cfg: ModelConfig, moe_params: Dict,
+                    x: jax.Array) -> jax.Array:
+    """Grouped-matmul dispatch: sort token-expert pairs by expert, run
+    ragged_dot over contiguous groups (reference MixtureOfExperts kernel
+    dispatch, tensorrt_llm/layers/moe.py; megablox gmm on TPU)."""
+    b, s, h = x.shape
+    t = b * s
+    e, k = cfg.num_experts, cfg.top_k_experts
+    xf = x.reshape(t, h)
+
+    logits = jnp.dot(xf.astype(jnp.float32),
+                     moe_params["router"]["w"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)                    # (T, E)
+    top_vals, top_ids = jax.lax.top_k(probs, k)                # (T, k)
+    top_vals = top_vals / jnp.maximum(top_vals.sum(-1, keepdims=True), 1e-9)
+
+    eid = top_ids.reshape(-1)                                  # (T*k,)
+    order = jnp.argsort(eid)                                   # stable
+    tok_idx = order // k                                       # source token
+    xs = jnp.take(xf, tok_idx, axis=0).astype(jnp.bfloat16)    # (T*k, H)
+    group_sizes = jnp.bincount(eid, length=e).astype(jnp.int32)
+
+    gu = jax.lax.ragged_dot(xs, _dequant_stack(moe_params["gate_up"]),
+                            group_sizes,
+                            preferred_element_type=jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    act = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
+    dn = jax.lax.ragged_dot(act, _dequant_stack(moe_params["down"]),
+                            group_sizes,
+                            preferred_element_type=jnp.float32)  # (T*k, H)
+
+    wflat = jnp.take(top_vals.reshape(-1), order)              # (T*k,)
+    out = jnp.zeros((t, h), jnp.float32).at[tok_idx].add(
+        dn * wflat[:, None])
+    return out.reshape(b, s, h).astype(x.dtype)
+
+
+def _moe_mlp_dense(cfg: ModelConfig, moe_params: Dict,
+                   x: jax.Array) -> jax.Array:
     b, s, h = x.shape
     e = cfg.num_experts
     weights = router_probs(x, moe_params["router"]["w"],

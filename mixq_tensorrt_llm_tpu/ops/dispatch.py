@@ -108,12 +108,24 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
         out = jnp.dot(x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32).astype(x.dtype)
     elif algo.is_weight_only:
-        qw = _unpacked_qweight(params)
-        if backend == "pallas":
+        if "qweight_packed" in params and _packed_kernel_ok(x2.shape[0]):
+            # decode regime with packed int4: the Pallas kernel reads the
+            # packed tensor directly (0.5 bytes/weight HBM traffic) and
+            # splits nibbles in VMEM — reference dequantize_s4_to_fp16x2
+            # (kernel/i8gemm.cu:306-369). Prefill (large M) stays on the
+            # XLA dot, which is compute- not bandwidth-bound there.
             from . import wo_matmul as wk
-            out = wk.wo_matmul(x2, qw, params["scale_col"], out_dtype=x.dtype)
+            out = wk.wo_matmul_packed(x2, params["qweight_packed"],
+                                      params["scale_col"], out_dtype=x.dtype)
         else:
-            out = ref.wo_matmul(x2, qw, params["scale_col"], out_dtype=x.dtype)
+            qw = _unpacked_qweight(params)
+            if backend == "pallas":
+                from . import wo_matmul as wk
+                out = wk.wo_matmul(x2, qw, params["scale_col"],
+                                   out_dtype=x.dtype)
+            else:
+                out = ref.wo_matmul(x2, qw, params["scale_col"],
+                                    out_dtype=x.dtype)
     elif algo.is_mix:
         if backend == "pallas":
             qw = _unpacked_qweight(params)
@@ -133,6 +145,15 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
         raise ValueError(f"unknown algo {algo}")
 
     return _maybe_bias(out, params).reshape(*lead, -1)
+
+
+def _packed_kernel_ok(m: int) -> bool:
+    """Route packed int4 through the Pallas kernel only in the
+    bandwidth-bound small-M regime (trace-time static), on real TPU, with
+    MXU-aligned shapes. Threshold overridable for tuning."""
+    from ._util import _on_tpu
+    limit = int(os.environ.get("MIXQ_PACKED_M_MAX", "128"))
+    return _on_tpu() and m <= limit
 
 
 def _unpacked_qweight(params: dict) -> jax.Array:

@@ -1,20 +1,33 @@
-"""Pallas TPU kernel: paged decode attention with in-kernel int8 KV dequant.
+"""Pallas TPU kernels: paged attention (decode + chunked prefill) with
+in-kernel int8 KV dequant, per-block base positions, sliding window + sinks.
 
-The decode-regime replacement for the reference's gpt_attention plugin with
-paged + int8 KV cache (binary libnvinfer_plugin kernels; SURVEY §2.3 item
-6): one query token per sequence attends over its block-table pages using
-flash-decoding-style online softmax. KV pages stream HBM -> VMEM via the
-block-spec pipeline with the page index coming from a scalar-prefetched
-block table, and int8 pages are dequantized in VMEM — HBM traffic stays
-1 byte per cache entry, and no (B, S, H, D) bf16 cache copy is ever
-materialized (the jnp reference path does exactly that and is why decode
-needs this kernel).
+Replaces the reference's gpt_attention plugin with paged + int8 KV cache in
+both phases (tensorrt_llm/functional.py:4475 context FMHA over paged KV +
+the masked generation-phase MMHA; binary libnvinfer_plugin kernels; SURVEY
+§2.3 item 6). KV pages stream HBM -> VMEM via the block-spec pipeline with
+the page index scalar-prefetched from the block table, int8 pages are
+dequantized in VMEM (HBM traffic stays 1 byte per cache entry), and no
+(B, S, H, D) cache copy is ever materialized.
 
-Layouts: kv pages (NB, Hkv, BS, D) with D on lanes; scale pages
-(NB, Hkv, BS) with BS on lanes (BS % 128 == 0 on TPU). The body loops over
-kv heads and works on 2D (BS, D) / (G, BS) tiles — whole-page 3D values
-spill vector registers and batched dots do not lower, both measured to be
-several times slower than this form.
+Positions are NOT inferred from the page index: a scalar-prefetched
+`block_pos` table carries each page's absolute base position. This is what
+makes StreamingLLM block recycling correct (reference plugin.py:172 +
+kv_cache_manager.py:289-378): a recycled page keeps stale tokens in its
+tail until overwritten, but those slots inherit the page's NEW base
+position, which places them in the causal future — masked out with no
+extra bookkeeping.
+
+Decode kernel design (the round-2 rewrite): the round-1 kernel looped kv
+heads with per-head (BS, D) x (G, D) matvecs — MXU-starved at G=1 and
+measured DMA-equivalent ~80 GB/s. This version computes ALL query-head x
+page-position logits in one (Hq, D) x (Hkv*BS, D)^T MXU dot and masks the
+head-mismatched pairs; the wasted Hkv x multiply is ~67 MFLOP/page — noise
+on the MXU — and both dequant scales apply to the small (Hq, Hkv*BS)
+logits tile instead of the (Hkv*BS, D) page.
+
+Prefill kernel: q chunks of 128 tokens (grid-tiled), per-kv-head
+(G*128, BS) logit tiles — enough rows to feed the MXU — with flash-style
+online softmax carried in VMEM scratch across the page scan.
 """
 
 from __future__ import annotations
@@ -29,18 +42,40 @@ from jax.experimental.pallas import tpu as pltpu
 from ._util import resolve_interpret
 
 NEG_INF = -1e30
+Q_TILE = 128     # prefill q rows per grid step
 
 
-def _kernel(table_ref, lens_ref,                       # scalar prefetch
-            q_ref, k_ref, v_ref, ks_ref, vs_ref,       # inputs
-            out_ref,                                   # output
-            acc_ref, m_ref, l_ref, *, bs, hkv, g, scale, quantized):
-    # NOTE: refs carry a leading block dim of 1 and are indexed [0, ...]
-    # directly — routing them through .at[0] sub-refs made Mosaic emit ~5x
-    # slower code (measured in the kernel bisect).
+def _lane_stat(ref):
+    """Read a lanes-broadcast (R, 128) scratch as its (R, 1) value."""
+    return jnp.max(ref[:], axis=1, keepdims=True)
+
+
+def _store_stat(ref, val):
+    ref[:] = jnp.broadcast_to(val, ref.shape)
+
+
+def _mask_positions(pos_kv, pos_q, window: int, sink: int):
+    """Causal + optional StreamingLLM sliding-window mask on absolute
+    positions. pos_kv/pos_q broadcastable int32 arrays."""
+    keep = pos_kv <= pos_q
+    if window:
+        keep &= (pos_kv > pos_q - window) | (pos_kv < sink)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# decode (q_len == 1)
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(table_ref, bpos_ref, lens_ref,          # scalar prefetch
+                   q_ref, k_ref, v_ref, ks_ref, vs_ref,    # inputs
+                   out_ref,                                # output
+                   acc_ref, m_ref, l_ref,
+                   *, bs, hkv, g, scale, quantized, window, sink):
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
+    hq = hkv * g
 
     @pl.when(j == 0)
     def _():
@@ -49,69 +84,69 @@ def _kernel(table_ref, lens_ref,                       # scalar prefetch
         l_ref[:] = jnp.zeros_like(l_ref)
 
     seq_len = lens_ref[b]
+    base = bpos_ref[b, j]
 
-    @pl.when(j * bs < seq_len)
+    # padded table entries carry base = PAD_POS (host contract) and skip;
+    # their table ids repeat the row's last real block so the block-spec
+    # pipeline elides the re-fetch (same index -> no DMA)
+    @pl.when(base < seq_len)
     def _():
-        pos_col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, g), 0)
-        valid = pos_col < seq_len
+        # (Hq, Hkv*BS) all-pairs logits in one MXU dot; both operands keep
+        # D on lanes (k2 rows are page entries, flattened outside)
+        k2 = k_ref[0].astype(jnp.bfloat16)                 # (Hkv*BS, D)
+        q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        logits = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (Hq, Hkv*BS)
+        if quantized:
+            logits = logits * ks_ref[0].astype(jnp.float32)  # (1, Hkv*BS)
 
-        # read the running stats ONCE per grid step — per-head dynamic-slice
-        # read-modify-writes on scratch were ~10x the whole kernel cost
-        m_prev_all = m_ref[:]     # (1, Hq)
-        l_prev_all = l_ref[:]
-        acc_prev_all = acc_ref[:]  # (Hq, D)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv * bs), 0) // g
+        col = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv * bs), 1)
+        pos = base + col % bs
+        keep = (row_h == col // bs) & (pos < seq_len) & \
+            _mask_positions(pos, seq_len - 1, window, sink)
+        logits = jnp.where(keep, logits, NEG_INF)
 
-        m_parts, l_parts, acc_parts = [], [], []
-        for h in range(hkv):
-            k_h = k_ref[0, h].astype(jnp.float32)       # (BS, D)
-            v_h = v_ref[0, h].astype(jnp.float32)
-            if quantized:
-                k_h = k_h * ks_ref[0, h][:, None].astype(jnp.float32)
-                v_h = v_h * vs_ref[0, h][:, None].astype(jnp.float32)
-
-            q_h = q_ref[0, pl.ds(h * g, g), :].astype(jnp.float32) * scale
-            # (BS, G): contract D; both operands keep D on lanes
-            logits = jax.lax.dot_general(
-                k_h, q_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            logits = jnp.where(valid, logits, NEG_INF)
-
-            m_prev = m_prev_all[:, h * g:(h + 1) * g]        # (1, G)
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(logits, axis=0, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)                      # (BS, G)
-            l_parts.append(l_prev_all[:, h * g:(h + 1) * g] * alpha
-                           + jnp.sum(p, axis=0, keepdims=True))
-            # (G, D): contract BS
-            pv = jax.lax.dot_general(
-                p, v_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_parts.append(
-                acc_prev_all[h * g:(h + 1) * g, :] * alpha.T + pv)
-            m_parts.append(m_new)
-
-        m_ref[:] = jnp.concatenate(m_parts, axis=1)
-        l_ref[:] = jnp.concatenate(l_parts, axis=1)
-        acc_ref[:] = jnp.concatenate(acc_parts, axis=0)
+        m_prev = _lane_stat(m_ref)                         # (Hq, 1)
+        l_prev = _lane_stat(l_ref)
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # clamp the subtrahend so fully-masked rows give exp(-inf) = 0, not
+        # exp(NEG_INF - NEG_INF) = 1 (happens when a page is entirely
+        # outside a row's window)
+        p = jnp.exp(logits - jnp.maximum(m_new, 0.5 * NEG_INF))
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0].astype(jnp.float32)
+        v2 = v_ref[0].astype(jnp.bfloat16)                 # (Hkv*BS, D)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (Hq, D)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        _store_stat(m_ref, m_new)
+        _store_stat(l_ref, l_new)
 
     @pl.when(j == n_blocks - 1)
     def _():
         out_ref[0] = (acc_ref[:] /
-                      jnp.maximum(l_ref[:], 1e-20).T).astype(out_ref.dtype)
+                      jnp.maximum(_lane_stat(l_ref), 1e-20)
+                      ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
+                                             "interpret"))
 def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
                            block_table, lens, scale: float,
+                           block_pos=None, window: int = 0, sink: int = 0,
                            interpret=None):
     """q (B, Hq, D); k/v pages (NB, Hkv, BS, D) [+ scales (NB, Hkv, BS) when
-    int8]; block_table (B, MB) int32; lens (B,) kv lengths -> (B, Hq, D).
+    int8]; block_table/block_pos (B, MB) int32 page ids / base positions;
+    lens (B,) kv lengths -> (B, Hq, D).
 
     On TPU (compiled) the block size must be a multiple of 128 so scale
     pages slice cleanly on lanes; interpret mode has no such constraint.
-    Query rows are ordered head-major: row h*G+i is query head h*G+i, which
-    matches the (B, Hq, D) reshape of grouped attention.
+    block_pos defaults to j*BS (non-windowed layouts).
     """
     interpret = resolve_interpret(interpret)
     b, hq, d = q.shape
@@ -123,37 +158,51 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
         assert bs % 128 == 0, (
             f"paged decode kernel needs block_size % 128 == 0 with int8 KV "
             f"(got {bs})")
+    if block_pos is None:
+        block_pos = jnp.broadcast_to(
+            jnp.arange(mb, dtype=jnp.int32)[None, :] * bs, (b, mb))
 
     if not quantized:   # feed dummy scale refs so the kernel arity is fixed
         k_scale = jnp.ones((nb, hkv, bs), jnp.float32)
         v_scale = k_scale
 
+    # flatten pages to 2D entry-major views (layout no-op: (Hkv, BS, D) is
+    # contiguous) so the kernel's dots are plain 2D matmuls; scales keep a
+    # singleton sublane dim — Mosaic requires block last-two dims either
+    # (8k, 128k)-divisible or equal to the array's, and (1, Hkv*BS) on a
+    # (NB, 1, Hkv*BS) array satisfies the latter
+    k2 = k_pages.reshape(nb, hkv * bs, d)
+    v2 = v_pages.reshape(nb, hkv * bs, d)
+    ks2 = k_scale.reshape(nb, 1, hkv * bs)
+    vs2 = v_scale.reshape(nb, 1, hkv * bs)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, mb),
         in_specs=[
             pl.BlockSpec((1, hq, d),
-                         lambda i, j, table, lens: (i, 0, 0)),
-            pl.BlockSpec((1, hkv, bs, d),
-                         lambda i, j, table, lens: (table[i, j], 0, 0, 0)),
-            pl.BlockSpec((1, hkv, bs, d),
-                         lambda i, j, table, lens: (table[i, j], 0, 0, 0)),
-            pl.BlockSpec((1, hkv, bs),
-                         lambda i, j, table, lens: (table[i, j], 0, 0)),
-            pl.BlockSpec((1, hkv, bs),
-                         lambda i, j, table, lens: (table[i, j], 0, 0)),
+                         lambda i, j, table, bpos, lens: (i, 0, 0)),
+            pl.BlockSpec((1, hkv * bs, d),
+                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+            pl.BlockSpec((1, hkv * bs, d),
+                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, hkv * bs),
+                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, hkv * bs),
+                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, hq, d),
-                               lambda i, j, table, lens: (i, 0, 0)),
+                               lambda i, j, table, bpos, lens: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hq, d), jnp.float32),
-            pltpu.VMEM((1, hq), jnp.float32),   # m (running max, head-major)
-            pltpu.VMEM((1, hq), jnp.float32),   # l (running denom)
+            pltpu.VMEM((hq, 128), jnp.float32),   # m (running max, lanes-bcast)
+            pltpu.VMEM((hq, 128), jnp.float32),   # l (running denom)
         ],
     )
 
-    kernel = functools.partial(_kernel, bs=bs, hkv=hkv, g=g, scale=scale,
-                               quantized=quantized)
+    kernel = functools.partial(_decode_kernel, bs=bs, hkv=hkv, g=g,
+                               scale=scale, quantized=quantized,
+                               window=window, sink=sink)
 
     out = pl.pallas_call(
         kernel,
@@ -163,5 +212,179 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_table, lens, q, k_pages, v_pages, k_scale, v_scale)
+    )(block_table, block_pos, lens, q, k2, v2, ks2, vs2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chunked prefill (q_len > 1)
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(table_ref, bpos_ref, qstart_ref, lens_ref,   # prefetch
+                    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    out_ref,
+                    acc_ref, m_ref, l_ref,
+                    *, bs, hkv, g, c, scale, quantized, window, sink):
+    b = pl.program_id(0)
+    j = pl.program_id(2)          # page scan is innermost
+    n_blocks = pl.num_programs(2)
+    rows = g * c                  # q rows per kv head (head-major layout)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    seq_len = lens_ref[b]
+    q_start = qstart_ref[b] + pl.program_id(1) * c
+    base = bpos_ref[b, j]
+
+    # page overlaps this q tile's causal range? (pages past the tile's last
+    # position contribute nothing; skipping them skips their whole update;
+    # padded table entries carry base = PAD_POS and always skip)
+    @pl.when(base <= q_start + c - 1)
+    def _():
+        m_all = m_ref[:]
+        l_all = l_ref[:]
+        acc_all = acc_ref[:]
+        m_parts, l_parts, acc_parts = [], [], []
+        pos_kv = base + jax.lax.broadcasted_iota(jnp.int32, (rows, bs), 1)
+        pos_q = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, bs), 0) % c
+        keep = (pos_kv < seq_len) & \
+            _mask_positions(pos_kv, pos_q, window, sink)
+
+        for h in range(hkv):
+            k_h = k_ref[0, h].astype(jnp.bfloat16)           # (BS, D)
+            q_h = (q_ref[0, pl.ds(h * rows, rows), :].astype(jnp.float32)
+                   * scale).astype(jnp.bfloat16)             # (G*C, D)
+            logits = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (G*C, BS)
+            if quantized:
+                logits = logits * ks_ref[0, h][None, :].astype(jnp.float32)
+            logits = jnp.where(keep, logits, NEG_INF)
+
+            m_prev = jnp.max(m_all[h * rows:(h + 1) * rows], axis=1,
+                             keepdims=True)
+            l_prev = jnp.max(l_all[h * rows:(h + 1) * rows], axis=1,
+                             keepdims=True)
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            # clamped so fully-masked rows contribute 0 (see decode kernel)
+            p = jnp.exp(logits - jnp.maximum(m_new, 0.5 * NEG_INF))
+            l_parts.append(jnp.broadcast_to(
+                l_prev * alpha + jnp.sum(p, axis=1, keepdims=True),
+                (rows, 128)))
+            if quantized:
+                p = p * vs_ref[0, h][None, :].astype(jnp.float32)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_ref[0, h].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (G*C, D)
+            acc_parts.append(acc_all[h * rows:(h + 1) * rows] * alpha + pv)
+            m_parts.append(jnp.broadcast_to(m_new, (rows, 128)))
+
+        m_ref[:] = jnp.concatenate(m_parts, axis=0)
+        l_ref[:] = jnp.concatenate(l_parts, axis=0)
+        acc_ref[:] = jnp.concatenate(acc_parts, axis=0)
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] /
+                      jnp.maximum(_lane_stat(l_ref), 1e-20)
+                      ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
+                                             "interpret"))
+def paged_prefill_attention(q, k_pages, v_pages, k_scale, v_scale,
+                            block_table, q_start, lens, scale: float,
+                            block_pos=None, window: int = 0, sink: int = 0,
+                            interpret=None):
+    """Chunked-prefill attention over the paged pool.
+
+    q (B, C, Hq, D) — C % 128 == 0 query tokens at absolute positions
+    q_start[b] + 0..C-1 (rows beyond the real prompt are garbage-in,
+    garbage-out: callers mask by position); k/v pages as in decode;
+    lens (B,) = total kv written (>= q_start + valid chunk len).
+    Returns (B, C, Hq, D) bf16.
+
+    The kernel never materializes the gathered cache — this is the
+    replacement for the paged_gather path on the chunked-prefill hot loop
+    (reference context FMHA with paged KV, functional.py:4475).
+    """
+    interpret = resolve_interpret(interpret)
+    b, c, hq, d = q.shape
+    nb, hkv, bs, _ = k_pages.shape
+    mb = block_table.shape[1]
+    g = hq // hkv
+    quantized = k_scale is not None
+    if not interpret:
+        assert c % Q_TILE == 0, f"chunk {c} must be a multiple of {Q_TILE}"
+        if quantized:
+            assert bs % 128 == 0, f"int8 KV needs block_size % 128 (got {bs})"
+    tile = Q_TILE if c % Q_TILE == 0 else c
+    n_ct = c // tile
+    if block_pos is None:
+        block_pos = jnp.broadcast_to(
+            jnp.arange(mb, dtype=jnp.int32)[None, :] * bs, (b, mb))
+    if not quantized:
+        k_scale = jnp.ones((nb, hkv, bs), jnp.float32)
+        v_scale = k_scale
+
+    # head-major q rows inside each tile slab: row (h*G + g')*tile + c', so
+    # each kv head's rows are one contiguous static slice (no in-kernel
+    # reshape/relayout, which Mosaic handles poorly — docs/PERF.md)
+    qr = (q.transpose(0, 2, 1, 3)            # (B, Hq, C, D)
+          .reshape(b, hq, n_ct, tile, d)
+          .transpose(0, 2, 1, 3, 4)          # (B, n_ct, Hq, tile, D)
+          .reshape(b, n_ct * hq * tile, d))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_ct, mb),
+        in_specs=[
+            pl.BlockSpec((1, hq * tile, d),
+                         lambda i, t, j, *_: (i, t, 0)),
+            pl.BlockSpec((1, hkv, bs, d),
+                         lambda i, t, j, table, *_: (table[i, j], 0, 0, 0)),
+            pl.BlockSpec((1, hkv, bs, d),
+                         lambda i, t, j, table, *_: (table[i, j], 0, 0, 0)),
+            pl.BlockSpec((1, hkv, bs),
+                         lambda i, t, j, table, *_: (table[i, j], 0, 0)),
+            pl.BlockSpec((1, hkv, bs),
+                         lambda i, t, j, table, *_: (table[i, j], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hq * tile, d),
+                               lambda i, t, j, *_: (i, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hq * tile, d), jnp.float32),
+            pltpu.VMEM((hq * tile, 128), jnp.float32),
+            pltpu.VMEM((hq * tile, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_prefill_kernel, bs=bs, hkv=hkv, g=g, c=tile,
+                               scale=scale, quantized=quantized,
+                               window=window, sink=sink)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_ct * hq * tile, d),
+                                       jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_table, block_pos, q_start, lens, qr, k_pages, v_pages,
+      k_scale, v_scale)
+
+    out = (out.reshape(b, n_ct, hq, tile, d)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(b, hq, c, d)
+           .transpose(0, 2, 1, 3))
     return out

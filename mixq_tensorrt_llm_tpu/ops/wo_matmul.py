@@ -86,3 +86,87 @@ def wo_matmul(x, qweight, scale_col, out_dtype=jnp.bfloat16,
     return out[:m]
 
 
+
+
+# ---------------------------------------------------------------------------
+# packed int4: HBM reads 0.5 bytes/weight, nibbles split in VMEM
+# ---------------------------------------------------------------------------
+
+def _wo_packed_kernel(x_lo_ref, x_hi_ref, qp_ref, scol_ref, out_ref, acc_ref,
+                      *, n_k_steps):
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = qp_ref[:]                                    # int8 (bk, bn) packed
+    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * scol_ref[:].astype(jnp.float32)
+                      ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "block_m", "block_n", "block_k"))
+def wo_matmul_packed(x, qweight_packed, scale_col, out_dtype=jnp.bfloat16,
+                     interpret=None, block_m: int = 256,
+                     block_n: int = 512, block_k: int = 512):
+    """x (M, K) bf16; qweight_packed int8 (K//2, N) in quant.core.pack_int4's
+    K-HALF layout (low nibble = row k, high nibble = row k + K/2);
+    scale_col (N,) f32 -> (M, N).
+
+    The reference streams packed int4 through the GEMM and dequantizes in
+    registers (kernel/i8gemm.cu:306-369 dequantize_s4_to_fp16x2, Int4b
+    weightOnlyBatchedGemv): here the packed tensor is the only weight HBM
+    traffic (0.5 bytes/weight) and the two nibble planes dot against the
+    matching halves of the activation K axis — no interleave, no unpacked
+    copy in HBM. block_k counts PACKED rows (bk packed rows = 2*bk logical).
+    """
+    interpret = resolve_interpret(interpret)
+    m, k = x.shape
+    kp, n = qweight_packed.shape
+    assert k == 2 * kp, (k, kp)
+    if not interpret:
+        assert kp % 128 == 0 and n % 128 == 0, (kp, n)
+
+    bm = min(block_m, _round_up(m, 16))
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(kp, block_k)
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    n_k_steps = kp // bk
+    grid = (m_pad // bm, n // bn, n_k_steps)
+
+    out = pl.pallas_call(
+        functools.partial(_wo_packed_kernel, n_k_steps=n_k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x rows [0, K/2)
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x rows [K/2, K)
+            pl.BlockSpec((bk, bn), lambda i, j, s: (s, j)),
+            pl.BlockSpec((1, bn), lambda i, j, s: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k * 2 + kp * n + m_pad * n * 2 + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x[:, :kp].astype(jnp.bfloat16), x[:, kp:].astype(jnp.bfloat16),
+      qweight_packed, scale_col[None, :])
+    return out[:m]

@@ -88,26 +88,32 @@ def dequantize_weight(q: jax.Array, scale: jax.Array,
 # ---------------------------------------------------------------------------
 
 def pack_int4(q: jax.Array) -> jax.Array:
-    """Pack int8-held int4 values (in, out) -> uint8 (in//2, out).
+    """Pack int8-held int4 values (in, out) -> int8 (in//2, out).
 
-    Row-pairs are packed (even row in the low nibble) so the contraction
-    axis stays leading and unpack is a cheap interleave on the sublane axis.
+    K-HALF layout: packed[k] holds row k in the low nibble and row
+    k + in/2 in the high nibble. Unpacking is then a contiguous
+    concatenation (no sublane interleave), and the Pallas weight-only
+    kernel consumes the packed tensor directly by splitting the activation
+    K axis in half — the TPU answer to the reference's in-kernel
+    dequantize_s4_to_fp16x2 (kernel/i8gemm.cu:306-369) and interleaved
+    CUTLASS preprocessors: HBM reads stay 0.5 bytes per weight.
     """
     assert q.shape[0] % 2 == 0, "in_features must be even to pack int4"
-    lo = (q[0::2] & 0xF).astype(jnp.uint8)
-    hi = (q[1::2] & 0xF).astype(jnp.uint8)
-    return lo | (hi << 4)
+    half = q.shape[0] // 2
+    lo = q[:half] & 0xF
+    hi = q[half:] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """uint8 (in//2, out) -> int8 (in, out), sign-extending each nibble."""
-    lo = (packed & 0xF).astype(jnp.int8)
-    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
-    # sign-extend: values >= 8 represent negatives
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    out = jnp.stack([lo, hi], axis=1)  # (in//2, 2, out)
-    return out.reshape(packed.shape[0] * 2, packed.shape[1])
+    """int8 (in//2, out) -> int8 (in, out), sign-extending each nibble.
+
+    Inverse of pack_int4's K-half layout: low nibbles are rows [0, in/2),
+    high nibbles rows [in/2, in)."""
+    p = packed.astype(jnp.int8)
+    lo = ((p << 4).astype(jnp.int8) >> 4)   # arithmetic sign-extend
+    hi = p >> 4
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 # ---------------------------------------------------------------------------

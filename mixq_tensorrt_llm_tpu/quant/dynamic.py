@@ -105,3 +105,45 @@ def adaptive_mix_linear(x, qweight, scale_col, state: DynamicOutlierState,
     out = ref.mixed_matmul(q_x, srow, x_out, qweight, scale_col, fp_w,
                            out_dtype=out_dtype)
     return out.reshape(*lead, -1), new_state
+
+
+# ---------------------------------------------------------------------------
+# model-level state (threaded through the decoder scan)
+# ---------------------------------------------------------------------------
+
+MIX_STATE_MODULES = ("qkv_proj", "o_proj", "gate_up_proj")
+STATE_PREFIX = "ostate_"
+
+
+def init_model_state(params, cfg) -> dict:
+    """{module: chan_max (L, in)} seeded so the calibrated static outlier
+    set (each layer's fp_ind) ranks above sigma from step one — the
+    reference's initial fp16 outlier set (linear.py:197-223) expressed as
+    state. New channels join when their running absmax crosses sigma."""
+    layers = params["layers"]
+    sigma = cfg.quant.outlier_sigma
+    out = {}
+    for mod in MIX_STATE_MODULES:
+        if mod not in layers or "fp_ind" not in layers[mod]:
+            continue
+        fp_ind = layers[mod]["fp_ind"]               # (L, k)
+        l, k = fp_ind.shape
+        d_in = layers[mod]["qweight"].shape[1]
+        seed = jnp.zeros((l, d_in), jnp.float32)
+        seed = jax.vmap(lambda s, idx: s.at[idx].set(2.0 * sigma))(
+            seed, fp_ind)
+        out[mod] = seed
+    return out
+
+
+def merge_into_cache(layer_cache_struct: dict, ostate: dict) -> dict:
+    return {**layer_cache_struct,
+            **{STATE_PREFIX + k: v for k, v in ostate.items()}}
+
+
+def split_from_cache(struct: dict):
+    ostate = {k[len(STATE_PREFIX):]: v for k, v in struct.items()
+              if k.startswith(STATE_PREFIX)}
+    rest = {k: v for k, v in struct.items()
+            if not k.startswith(STATE_PREFIX)}
+    return rest, ostate

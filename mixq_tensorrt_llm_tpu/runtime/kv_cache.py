@@ -11,7 +11,11 @@ reference's (it is control plane, not data plane).
 
 Sliding-window + sink ("StreamingLLM", reference plugin.py:172 +
 kv_cache_manager.py:289-330) maps to block-table surgery: when a sequence
-exceeds the window, the oldest non-sink block is recycled in place.
+exceeds the window, the oldest non-sink block is recycled in place. Every
+block carries an absolute BASE POSITION (`bases`, exported as the
+block_pos table) so attention masks work on true positions: a recycled
+page's stale tail slots inherit the page's new base, land in the causal
+future, and mask out with no per-slot bookkeeping.
 """
 
 from __future__ import annotations
@@ -26,6 +30,10 @@ import numpy as np
 from ..models.common import ModelConfig
 from ..quant.config import KVCacheQuantAlgo
 from ..quant import core as qcore
+
+# base position marking a padded block_pos entry: larger than any real
+# position, so kernels and masks treat the slot as causally unreachable
+PAD_POS = np.int32(1 << 30)
 
 
 class PagedKVState(NamedTuple):
@@ -71,6 +79,7 @@ def init_paged_kv(cfg: ModelConfig, num_blocks: int,
 class SequenceBlocks:
     seq_id: int
     blocks: List[int]
+    bases: List[int]       # absolute base position of each block
     length: int = 0        # tokens currently stored
 
 
@@ -109,7 +118,9 @@ class BlockManager:
         blocks = [self.free.pop() for _ in range(n)]
         for b in blocks:
             self.ref_counts[b] += 1
-        sb = SequenceBlocks(seq_id, blocks, num_tokens)
+        sb = SequenceBlocks(seq_id, blocks,
+                            [i * self.block_size for i in range(n)],
+                            num_tokens)
         self.seqs[seq_id] = sb
         return sb
 
@@ -117,20 +128,24 @@ class BlockManager:
         """Grow a sequence; allocates (or recycles, when windowed) blocks."""
         sb = self.seqs[seq_id]
         target = sb.length + new_tokens
-        while len(sb.blocks) * self.block_size < target:
+        while sb.bases[-1] + self.block_size < target:
+            next_base = sb.bases[-1] + self.block_size
             if self.window_blocks is not None and \
                     len(sb.blocks) >= self.sink_blocks + self.window_blocks:
-                # sliding window: recycle the oldest non-sink block in place
+                # sliding window: recycle the oldest non-sink block in place;
+                # it moves to the tail with a fresh base position (stale
+                # slots land in the causal future until overwritten)
                 blk = sb.blocks.pop(self.sink_blocks)
+                sb.bases.pop(self.sink_blocks)
                 sb.blocks.append(blk)
-                # logical length stays capped; caller tracks absolute pos
-                sb.length = target
-                return sb
+                sb.bases.append(next_base)
+                continue
             if not self.free:
                 raise RuntimeError("KV pool exhausted during decode")
             blk = self.free.pop()
             self.ref_counts[blk] += 1
             sb.blocks.append(blk)
+            sb.bases.append(next_base)
         sb.length = target
         return sb
 
@@ -147,19 +162,33 @@ class BlockManager:
         src = self.seqs[src_seq_id]
         for b in src.blocks:
             self.ref_counts[b] += 1
-        sb = SequenceBlocks(dst_seq_id, list(src.blocks), src.length)
+        sb = SequenceBlocks(dst_seq_id, list(src.blocks), list(src.bases),
+                            src.length)
         self.seqs[dst_seq_id] = sb
         return sb
 
     # ------------------------------------------------------------------
     def block_table(self, seq_ids: List[int], max_blocks: int) -> np.ndarray:
-        """(len(seq_ids), max_blocks) int32, padded with 0 (never read
-        thanks to length masking)."""
+        """(len(seq_ids), max_blocks) int32. Padded entries repeat the last
+        real block: the Pallas pipeline skips the re-fetch when consecutive
+        grid steps resolve to the same page, so padding costs no DMA; the
+        matching block_pos padding (PAD_POS) masks them out."""
         out = np.zeros((len(seq_ids), max_blocks), np.int32)
         for i, sid in enumerate(seq_ids):
             blocks = self.seqs[sid].blocks
             assert len(blocks) <= max_blocks, (len(blocks), max_blocks)
             out[i, :len(blocks)] = blocks
+            if blocks:
+                out[i, len(blocks):] = blocks[-1]
+        return out
+
+    def block_pos(self, seq_ids: List[int], max_blocks: int) -> np.ndarray:
+        """(len(seq_ids), max_blocks) int32 absolute base positions, padded
+        with PAD_POS (causally unreachable)."""
+        out = np.full((len(seq_ids), max_blocks), PAD_POS, np.int32)
+        for i, sid in enumerate(seq_ids):
+            bases = self.seqs[sid].bases
+            out[i, :len(bases)] = bases
         return out
 
     @property
@@ -173,7 +202,8 @@ class BlockManager:
 
 def paged_write(layer_caches, block_table: jax.Array,
                 write_pos: jax.Array, new_k: jax.Array, new_v: jax.Array,
-                quantized: bool, valid: Optional[jax.Array] = None):
+                quantized: bool, valid: Optional[jax.Array] = None,
+                block_pos: Optional[jax.Array] = None):
     """Scatter new kv at absolute positions into the pool (one layer view).
 
     layer_caches: dict of this layer's pool slices {k (NB,H,BS,D), ...}
@@ -183,12 +213,26 @@ def paged_write(layer_caches, block_table: jax.Array,
     valid:        (B, S) bool; invalid (padding) writes are redirected to
                   block 0, which BlockManager reserves as a trash block so
                   padding can never corrupt another sequence's pages.
+    block_pos:    (B, max_blocks) absolute base position per table entry
+                  (BlockManager.block_pos). None = identity layout
+                  (entry j covers positions [j*BS, (j+1)*BS)); required for
+                  windowed/recycled tables, where a position's entry is
+                  found by base matching instead of division.
     """
     bs = layer_caches["k"].shape[2]
     mb = block_table.shape[1]
-    blk_idx = jnp.clip(write_pos // bs, 0, mb - 1)
+    if block_pos is None:
+        blk_idx = jnp.clip(write_pos // bs, 0, mb - 1)
+        found = None
+    else:
+        want = (write_pos // bs) * bs                        # (B, S)
+        eq = block_pos[:, None, :] == want[:, :, None]       # (B, S, MB)
+        blk_idx = jnp.argmax(eq, axis=-1).astype(write_pos.dtype)
+        found = jnp.any(eq, axis=-1)
     blk = jnp.take_along_axis(block_table, blk_idx, axis=1)  # (B,S)
     off = write_pos % bs
+    if found is not None:
+        blk = jnp.where(found, blk, 0)
     if valid is not None:
         blk = jnp.where(valid, blk, 0)
 

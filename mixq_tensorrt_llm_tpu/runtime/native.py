@@ -71,6 +71,10 @@ def load_library() -> ctypes.CDLL:
         lib.mixq_bm_block_tables.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.mixq_bm_block_poss.restype = ctypes.c_int32
+        lib.mixq_bm_block_poss.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.mixq_bm_seq_length.restype = ctypes.c_int64
         lib.mixq_bm_seq_length.argtypes = [ctypes.c_int64, ctypes.c_int64]
         _lib = lib
@@ -159,6 +163,16 @@ class NativeBlockManager:
             self._h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_blocks)
         _check(code, "block_table")
+        return out
+
+    def block_pos(self, seq_ids: List[int], max_blocks: int) -> np.ndarray:
+        n = len(seq_ids)
+        out = np.zeros((n, max_blocks), np.int32)
+        ids = np.asarray(seq_ids, np.int64)
+        code = self._lib.mixq_bm_block_poss(
+            self._h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_blocks)
+        _check(code, "block_pos")
         return out
 
     @property

@@ -40,7 +40,8 @@ import numpy as np
 
 from ..models import common as mcommon
 from ..models.common import ModelConfig
-from .kv_cache import BlockManager, PagedKVState, init_paged_kv
+from .kv_cache import (BlockManager, PAD_POS, PagedKVState,
+                       init_paged_kv)
 from .sampler import SamplingConfig, SamplingParams, batch_params, sample_batched
 
 HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
@@ -76,6 +77,8 @@ class Executor:
                  prefill_chunk: int = 256,
                  prefill_lanes: int = 4,
                  sampling: SamplingConfig = SamplingConfig(),
+                 sink_blocks: int = 0,
+                 window_blocks: Optional[int] = None,
                  seed: int = 0):
         from ..ops._util import _on_tpu
         from ..quant.config import KVCacheQuantAlgo
@@ -98,9 +101,23 @@ class Executor:
         import os as _os
         self.bm = make_block_manager(
             num_blocks, block_size,
+            sink_blocks=sink_blocks, window_blocks=window_blocks,
             prefer_native=_os.environ.get("MIXQ_NATIVE", "1") != "0")
+        # StreamingLLM runtime window in TOKENS for the attention masks
+        # (reference plugin.py:172 streamingllm; 0 = model default /
+        # cfg.sliding_window). Blocks recycle in the manager; positions
+        # stay absolute via the block_pos tables.
+        win_tokens = (window_blocks * block_size) if window_blocks else 0
+        sink_tokens = sink_blocks * block_size
         self.sampling = sampling
         self.key = jax.random.PRNGKey(seed)
+        # runtime-adaptive outliers (reference PyTorch-path MixQ,
+        # linear.py:197-223): state rides through every prefill call and
+        # passes through decode untouched (decode is weight-only)
+        self.ostate = None
+        if cfg.quant.dynamic_outliers and cfg.quant.algo.is_mix:
+            from ..quant import dynamic as qdyn
+            self.ostate = qdyn.init_model_state(params, cfg)
 
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -114,9 +131,9 @@ class Executor:
         mb = self.max_blocks_per_seq
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_chunk_fn(params, tokens, state, block_table, start,
-                             length, key, samp, history,
-                             suppress_token, suppress_flag):
+        def prefill_chunk_fn(params, tokens, state, block_table, block_pos,
+                             start, length, key, samp, history,
+                             suppress_token, suppress_flag, ostate):
             """tokens (P, C): one chunk per lane starting at per-lane
             absolute position `start`; length (P,) = total valid tokens
             written after this chunk (0 disables a lane: all its page
@@ -124,23 +141,28 @@ class Executor:
             first tokens (used only for lanes whose prefill completes)."""
             c = tokens.shape[1]
             pos = start[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
-            logits, state = mcommon.forward_paged(
-                params, cfg_s, tokens, pos, state, block_table, length)
+            res = mcommon.forward_paged(
+                params, cfg_s, tokens, pos, state, block_table, length,
+                block_pos=block_pos, window=win_tokens, sink=sink_tokens,
+                outlier_state=ostate)
+            logits, state = res[0], res[1]
+            new_ostate = res[2] if ostate else None
             last = jnp.take_along_axis(
                 logits, jnp.clip(length - start - 1, 0, c - 1)[:, None, None],
                 axis=1)[:, 0]
             tok = sample_batched(last, key, samp, history=history,
                                  suppress_token=suppress_token,
                                  suppress_flag=suppress_flag)
-            return tok, state
+            return tok, state, new_ostate
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_fn(params, tokens, state, block_table, lens, key, samp,
-                      history, suppress_token, suppress_flag):
+        def decode_fn(params, tokens, state, block_table, block_pos, lens,
+                      key, samp, history, suppress_token, suppress_flag):
             pos = lens[:, None].astype(jnp.int32)
             logits, state = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table,
-                jnp.maximum(lens + 1, 1))
+                jnp.maximum(lens + 1, 1),
+                block_pos=block_pos, window=win_tokens, sink=sink_tokens)
             next_tok = sample_batched(logits[:, 0], key, samp,
                                       history=history,
                                       suppress_token=suppress_token,
@@ -242,6 +264,7 @@ class Executor:
         start = np.zeros((p,), np.int32)
         length = np.zeros((p,), np.int32)   # 0 disables the lane
         table = np.zeros((p, self.max_blocks_per_seq), np.int32)
+        bpos = np.full((p, self.max_blocks_per_seq), PAD_POS, np.int32)
         sup_tok = np.full((p,), -1, np.int32)
         sup_flag = np.zeros((p,), np.int32)
         for i, req in enumerate(lanes):
@@ -252,6 +275,8 @@ class Executor:
             length[i] = min(len(req.prompt), c0 + chunk)
             table[i] = self.bm.block_table([req.req_id],
                                            self.max_blocks_per_seq)[0]
+            bpos[i] = self.bm.block_pos([req.req_id],
+                                        self.max_blocks_per_seq)[0]
             if req.eos_token_id is not None and req.min_new_tokens > 0:
                 sup_tok[i] = req.eos_token_id
                 sup_flag[i] = 1
@@ -259,11 +284,14 @@ class Executor:
             [r.sampling or self.sampling for r in lanes]
             + [None] * (p - len(lanes)))
         self.key, sub = jax.random.split(self.key)
-        tok, self.state = self._prefill(
+        tok, self.state, new_ostate = self._prefill(
             self.params, jnp.asarray(tokens), self.state, jnp.asarray(table),
+            jnp.asarray(bpos),
             jnp.asarray(start), jnp.asarray(length), sub, samp,
             jnp.asarray(self._history(list(lanes) + [None] * (p - len(lanes)))),
-            jnp.asarray(sup_tok), jnp.asarray(sup_flag))
+            jnp.asarray(sup_tok), jnp.asarray(sup_flag), self.ostate)
+        if self.ostate is not None:
+            self.ostate = new_ostate
         tok_np = np.asarray(tok)
         for i, req in enumerate(lanes):
             req.prefill_pos = int(length[i])
@@ -309,6 +337,8 @@ class Executor:
         tokens = np.zeros((self.max_batch, 1), np.int32)
         lens = np.zeros((self.max_batch,), np.int32)
         table = np.zeros((self.max_batch, self.max_blocks_per_seq), np.int32)
+        bpos = np.full((self.max_batch, self.max_blocks_per_seq), PAD_POS,
+                       np.int32)
         sup_tok = np.full((self.max_batch,), -1, np.int32)
         sup_flag = np.zeros((self.max_batch,), np.int32)
         configs: List[Optional[SamplingConfig]] = [None] * self.max_batch
@@ -321,6 +351,8 @@ class Executor:
             lens[i] = new_pos
             table[i] = self.bm.block_table([req.req_id],
                                            self.max_blocks_per_seq)[0]
+            bpos[i] = self.bm.block_pos([req.req_id],
+                                        self.max_blocks_per_seq)[0]
             configs[i] = req.sampling or self.sampling
             if (req.eos_token_id is not None
                     and len(req.generated) < req.min_new_tokens):
@@ -330,7 +362,7 @@ class Executor:
         self.key, sub = jax.random.split(self.key)
         next_tok, self.state = self._decode(
             self.params, jnp.asarray(tokens), self.state,
-            jnp.asarray(table), jnp.asarray(lens), sub,
+            jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
             jnp.asarray(sup_tok), jnp.asarray(sup_flag))
         next_np = np.asarray(next_tok)

@@ -19,9 +19,12 @@
 
 namespace {
 
+constexpr int32_t kPadPos = 1 << 30;  // padded block_pos entries (masked)
+
 struct Sequence {
   std::vector<int32_t> blocks;
-  int64_t length = 0;  // tokens stored
+  std::vector<int32_t> bases;  // absolute base position of each block
+  int64_t length = 0;          // tokens stored
 };
 
 struct Manager {
@@ -102,11 +105,13 @@ int32_t mixq_bm_add_sequence(int64_t h, int64_t seq_id, int64_t num_tokens) {
   Sequence s;
   s.length = num_tokens;
   s.blocks.reserve(need);
+  s.bases.reserve(need);
   for (int32_t i = 0; i < need; ++i) {
     int32_t b = m->free_list.back();
     m->free_list.pop_back();
     m->ref_counts[b]++;
     s.blocks.push_back(b);
+    s.bases.push_back(i * m->block_size);
   }
   m->seqs.emplace(seq_id, std::move(s));
   return 0;
@@ -122,21 +127,26 @@ int32_t mixq_bm_extend(int64_t h, int64_t seq_id, int64_t new_tokens) {
   if (it == m->seqs.end()) return -2;
   Sequence& s = it->second;
   int64_t target = s.length + new_tokens;
-  while (static_cast<int64_t>(s.blocks.size()) * m->block_size < target) {
+  while (s.bases.back() + m->block_size < target) {
+    int32_t next_base = s.bases.back() + m->block_size;
     if (m->window_blocks >= 0 &&
         static_cast<int32_t>(s.blocks.size()) >=
             m->sink_blocks + m->window_blocks) {
+      // recycle the oldest non-sink block in place; it moves to the tail
+      // with a fresh base (stale slots sit in the causal future)
       int32_t blk = s.blocks[m->sink_blocks];
       s.blocks.erase(s.blocks.begin() + m->sink_blocks);
+      s.bases.erase(s.bases.begin() + m->sink_blocks);
       s.blocks.push_back(blk);
-      s.length = target;
-      return 0;
+      s.bases.push_back(next_base);
+      continue;
     }
     if (m->free_list.empty()) return -3;
     int32_t b = m->free_list.back();
     m->free_list.pop_back();
     m->ref_counts[b]++;
     s.blocks.push_back(b);
+    s.bases.push_back(next_base);
   }
   s.length = target;
   return 0;
@@ -168,7 +178,9 @@ int32_t mixq_bm_fork(int64_t h, int64_t src_id, int64_t dst_id) {
   return 0;
 }
 
-// Writes min(len(blocks), max_blocks) entries; zero-pads the rest.
+// Writes min(len(blocks), max_blocks) entries; padding repeats the last
+// real block (the Pallas pipeline elides same-index re-fetches, so padded
+// grid steps cost no DMA; block_pos padding masks them out).
 // Returns number of live blocks, or <0 on error.
 int32_t mixq_bm_block_table(int64_t h, int64_t seq_id, int32_t* out,
                             int32_t max_blocks) {
@@ -179,9 +191,37 @@ int32_t mixq_bm_block_table(int64_t h, int64_t seq_id, int32_t* out,
   if (it == m->seqs.end()) return -2;
   const auto& blocks = it->second.blocks;
   if (static_cast<int32_t>(blocks.size()) > max_blocks) return -5;
-  std::memset(out, 0, sizeof(int32_t) * max_blocks);
   std::memcpy(out, blocks.data(), sizeof(int32_t) * blocks.size());
+  int32_t pad = blocks.empty() ? 0 : blocks.back();
+  for (int32_t i = static_cast<int32_t>(blocks.size()); i < max_blocks; ++i)
+    out[i] = pad;
   return static_cast<int32_t>(blocks.size());
+}
+
+// Absolute base position per table entry; pads with kPadPos.
+int32_t mixq_bm_block_pos(int64_t h, int64_t seq_id, int32_t* out,
+                          int32_t max_blocks) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  const auto& bases = it->second.bases;
+  if (static_cast<int32_t>(bases.size()) > max_blocks) return -5;
+  std::memcpy(out, bases.data(), sizeof(int32_t) * bases.size());
+  for (int32_t i = static_cast<int32_t>(bases.size()); i < max_blocks; ++i)
+    out[i] = kPadPos;
+  return static_cast<int32_t>(bases.size());
+}
+
+int32_t mixq_bm_block_poss(int64_t h, const int64_t* seq_ids, int32_t n,
+                           int32_t* out, int32_t max_blocks) {
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t r =
+        mixq_bm_block_pos(h, seq_ids[i], out + i * max_blocks, max_blocks);
+    if (r < 0) return r;
+  }
+  return 0;
 }
 
 // Batched table fill: seq_ids[n] -> out[n * max_blocks]. Returns 0 or the

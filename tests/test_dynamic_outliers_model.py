@@ -1,0 +1,108 @@
+"""Runtime-adaptive outliers threaded through the model forward and the
+executor (VERDICT r1 item 5: QuantConfig.dynamic_outliers was dead config).
+
+Reference: MixQ/src/mixquant/modules/linear.py:197-223 grows the outlier
+set during inference; here the state is a per-layer running channel absmax
+carried through the lax.scan (quant/dynamic.py).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, common as mcommon
+from mixq_tensorrt_llm_tpu.models import llama as mllama
+from mixq_tensorrt_llm_tpu.quant import dynamic as qdyn
+from mixq_tensorrt_llm_tpu.quant.config import (KVCacheQuantAlgo, QuantAlgo,
+                                                QuantConfig)
+
+
+def make_cfg(dynamic: bool) -> ModelConfig:
+    return ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16,
+        max_position_embeddings=64,
+        quant=QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=4,
+                          max_outliers=8, dynamic_outliers=dynamic))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = make_cfg(True)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+def test_forward_threads_state(setup):
+    """forward() with outlier_state returns an updated, monotone state of
+    the same structure, and still returns valid logits."""
+    params, cfg = setup
+    state0 = qdyn.init_model_state(params, cfg)
+    assert set(state0) == {"qkv_proj", "o_proj", "gate_up_proj"}
+    cache = mcommon.init_kv_cache(cfg, 1, 16)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None, :]
+    logits, _, state1 = mcommon.forward(
+        params, cfg, tokens, pos, cache, jnp.array([4], jnp.int32),
+        outlier_state=state0)
+    assert logits.shape == (1, 4, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    for k in state0:
+        assert state1[k].shape == state0[k].shape
+        assert (np.asarray(state1[k]) >= np.asarray(state0[k]) - 1e-6).all()
+
+
+def test_quiet_input_matches_static_path(setup):
+    """With no activation spikes the dynamic path selects exactly the
+    calibrated set and the logits match the static path closely."""
+    params, cfg = setup
+    cache = mcommon.init_kv_cache(cfg, 1, 16)
+    tokens = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None, :]
+    vlen = jnp.array([4], jnp.int32)
+
+    static_logits, _ = mcommon.forward(params, cfg, tokens, pos, cache, vlen)
+    state0 = qdyn.init_model_state(params, cfg)
+    dyn_logits, _, _ = mcommon.forward(params, cfg, tokens, pos,
+                                       mcommon.init_kv_cache(cfg, 1, 16),
+                                       vlen, outlier_state=state0)
+    # same outlier set, but dynamic uses dequantized int8 rows instead of
+    # the stored fp_weight for the side GEMM -> close, not bit-equal
+    np.testing.assert_allclose(np.asarray(dyn_logits),
+                               np.asarray(static_logits), rtol=0.1, atol=0.5)
+
+
+def test_executor_dynamic_outliers_end_to_end(setup):
+    """The executor with dynamic_outliers on: state exists, updates during
+    prefill, generation is deterministic."""
+    params, cfg = setup
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+
+    outs = []
+    for _ in range(2):
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=32, block_size=8,
+                      prefill_chunk=8, seed=0)
+        assert ex.ostate is not None
+        before = {k: np.asarray(v).copy() for k, v in ex.ostate.items()}
+        rid = ex.submit([1, 2, 3, 4, 5], max_new_tokens=6)
+        done = ex.run()
+        outs.append(done[rid].generated)
+        after = ex.ostate
+        grew = any((np.asarray(after[k]) > before[k] + 1e-6).any()
+                   for k in before)
+        assert grew, "prefill did not update the running channel absmax"
+    assert outs[0] == outs[1]
+
+
+def test_executor_static_config_has_no_state(setup):
+    params, _ = setup
+    cfg = make_cfg(False)
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    ex = Executor(params, cfg, max_batch=1, max_seq_len=32, block_size=8,
+                  prefill_chunk=8)
+    assert ex.ostate is None
+    rid = ex.submit([1, 2, 3], max_new_tokens=4)
+    assert len(ex.run()[rid].generated) == 4

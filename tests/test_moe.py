@@ -185,3 +185,42 @@ class TestMoEExpertParallel:
                                   init_kv_cache(cfg, 1, 8), lens))(sharded)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-2, atol=3e-2)
+
+
+def _rand_moe_params(cfg, key):
+    ks = jax.random.split(key, 3)
+    h, i, e = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+    return {
+        "router": {"w": (jax.random.normal(ks[2], (h, e))
+                         .astype(jnp.bfloat16))},
+        "gate_up": {"w": (jax.random.normal(ks[0], (e, h, 2 * i)) * 0.05
+                          ).astype(jnp.bfloat16)},
+        "down": {"w": (jax.random.normal(ks[1], (e, i, h)) * 0.05
+                       ).astype(jnp.bfloat16)},
+    }
+
+
+class TestRaggedDispatch:
+    def test_ragged_matches_dense(self):
+        """ragged_dot grouped dispatch == dense masked dispatch (same
+        routing, same math; k/E of the FLOPs)."""
+        cfg = moe_cfg()
+        params = _rand_moe_params(cfg, jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.hidden_size),
+                              jnp.bfloat16)
+        dense = np.asarray(moe_mlp(cfg, params, x, ragged=False), np.float32)
+        ragged = np.asarray(moe_mlp(cfg, params, x, ragged=True), np.float32)
+        np.testing.assert_allclose(ragged, dense, rtol=5e-2, atol=5e-2)
+
+    def test_ragged_under_jit(self):
+        cfg = moe_cfg()
+        params = _rand_moe_params(cfg, jax.random.PRNGKey(2))
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, cfg.hidden_size),
+                              jnp.bfloat16)
+
+        @jax.jit
+        def f(p, x):
+            return moe_mlp(cfg, p, x, ragged=True)
+        out = f(params, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()

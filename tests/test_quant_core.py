@@ -50,7 +50,7 @@ class TestWeightQuant:
         w = rand(2, 128, 64)
         qw, _ = q.quantize_weight_int4(w)
         packed = q.pack_int4(qw)
-        assert packed.shape == (64, 64) and packed.dtype == jnp.uint8
+        assert packed.shape == (64, 64) and packed.dtype == jnp.int8
         np.testing.assert_array_equal(np.asarray(q.unpack_int4(packed)),
                                       np.asarray(qw))
 
