@@ -40,7 +40,7 @@ class PPLResult:
         return self.total_tokens / self.elapsed_s if self.elapsed_s else 0.0
 
 
-def _nll_fn(cfg: ModelConfig):
+def _nll_fn(cfg: ModelConfig, full_prefill: bool = True):
     @jax.jit
     def block_nll(params, tokens):
         """tokens (B, S): teacher-forced sum NLL over positions 1..S-1."""
@@ -49,7 +49,7 @@ def _nll_fn(cfg: ModelConfig):
         pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
         lens = jnp.full((b,), s, jnp.int32)
         logits, _ = mcommon.forward(params, cfg, tokens, pos, cache, lens,
-                                    full_prefill=True)
+                                    full_prefill=full_prefill)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -60,8 +60,15 @@ def _nll_fn(cfg: ModelConfig):
 
 def evaluate_ppl(params, cfg: ModelConfig, token_stream: Sequence[int],
                  seq_len: int = 512, batch_size: int = 8,
-                 max_blocks: Optional[int] = None) -> PPLResult:
-    """Block perplexity over a flat token stream."""
+                 max_blocks: Optional[int] = None,
+                 full_prefill: bool = True) -> PPLResult:
+    """Block perplexity over a flat token stream.
+
+    full_prefill=True scores with attention over fresh k/v (fastest);
+    full_prefill=False attends THROUGH the kv cache, which is the only way
+    the kv-cache quantization error reaches the score — use it when gating
+    KVCacheQuantAlgo.INT8 (the reference's int8_kv_cache ppl runs read the
+    quantized cache the same way)."""
     toks = np.asarray(token_stream, np.int32)
     n_blocks = len(toks) // seq_len
     if max_blocks:
@@ -69,7 +76,7 @@ def evaluate_ppl(params, cfg: ModelConfig, token_stream: Sequence[int],
     assert n_blocks > 0, "token stream shorter than one block"
     blocks = toks[: n_blocks * seq_len].reshape(n_blocks, seq_len)
 
-    block_nll = _nll_fn(cfg)
+    block_nll = _nll_fn(cfg, full_prefill)
     total_nll = 0.0
     t0 = time.perf_counter()
     pending = []

@@ -1,0 +1,71 @@
+"""Accuracy-gate machinery: requantize (convert.from_float) + the PPL gate
+pipeline on a briefly-trained byte model (miniature of tools/ppl_gate.py,
+which is the full committed gate — see PPL_r02.json)."""
+
+import importlib.util
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "ppl_gate", pathlib.Path(__file__).parent.parent / "tools" / "ppl_gate.py")
+ppl_gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ppl_gate)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    toks = ppl_gate.corpus_tokens()
+    params, cfg = ppl_gate.train_tiny(toks[:100_000], steps=40, batch=8,
+                                      log_every=0)
+    return params, cfg, toks
+
+
+def test_training_reduces_loss():
+    toks = ppl_gate.corpus_tokens()
+    assert len(toks) > 200_000  # repo corpus is real text
+    from mixq_tensorrt_llm_tpu.eval.ppl import evaluate_ppl
+    params0, cfg = ppl_gate.train_tiny(toks[:100_000], steps=1, batch=8,
+                                       log_every=0)
+    params1, _ = ppl_gate.train_tiny(toks[:100_000], steps=40, batch=8,
+                                     log_every=0)
+    held = toks[-20_000:]
+    p0 = evaluate_ppl(params0, cfg, held, seq_len=256, max_blocks=4).ppl
+    p1 = evaluate_ppl(params1, cfg, held, seq_len=256, max_blocks=4).ppl
+    assert p1 < p0 * 0.8, (p0, p1)
+
+
+def test_requantize_gate(trained):
+    """int8_mix PPL within a loose bound of float on the briefly-trained
+    model; int8 weights really are int8."""
+    from mixq_tensorrt_llm_tpu.convert.from_float import requantize
+    from mixq_tensorrt_llm_tpu.convert.calibrate import calibrate_act_scales
+    from mixq_tensorrt_llm_tpu.eval.ppl import evaluate_ppl
+    from mixq_tensorrt_llm_tpu.quant.config import QuantAlgo, QuantConfig
+
+    params_f, cfg_f, toks = trained
+    held = toks[-20_000:]
+    calib = [toks[i * 256:(i + 1) * 256][None, :] for i in range(4)]
+    scales = calibrate_act_scales(params_f, cfg_f, calib)
+
+    params_q, cfg_q = requantize(
+        params_f, cfg_f,
+        QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=16), scales)
+    assert params_q["layers"]["qkv_proj"]["qweight"].dtype == jnp.int8
+
+    pf = evaluate_ppl(params_f, cfg_f, held, seq_len=256, max_blocks=4).ppl
+    pq = evaluate_ppl(params_q, cfg_q, held, seq_len=256, max_blocks=4).ppl
+    assert pq < pf * 1.05, (pf, pq)
+
+
+def test_requantize_rejects_quantized_tree(trained):
+    from mixq_tensorrt_llm_tpu.convert.from_float import requantize
+    from mixq_tensorrt_llm_tpu.quant.config import QuantAlgo, QuantConfig
+    params_f, cfg_f, _ = trained
+    qc = QuantConfig(algo=QuantAlgo.W8A16)
+    params_q, cfg_q = requantize(params_f, cfg_f, qc)
+    with pytest.raises(AssertionError):
+        requantize(params_q, cfg_q, qc)

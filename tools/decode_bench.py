@@ -49,7 +49,8 @@ def main():
     params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
 
     block_size = 128
-    mb = -(-args.ctx // block_size) + 1
+    # room for ctx + 4*iters decode writes (slope timing's long run)
+    mb = -(-(args.ctx + 4 * args.iters) // block_size) + 1
     nb = args.bs * mb + 1
     state = init_paged_kv(cfg, nb, block_size)
     table = np.zeros((args.bs, mb), np.int32)
@@ -64,28 +65,43 @@ def main():
 
     iters = args.iters
 
-    @jax.jit
-    def run(params, tokens, state, lens):
-        def body(i, carry):
-            tokens, state, lens, acc = carry
-            pos = lens[:, None].astype(jnp.int32)
-            logits, state = mcommon.forward_paged(
-                params, cfg, tokens, pos, state, table, lens + 1)
-            nxt_tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
-            return (nxt_tok[:, None], state, lens + 1,
-                    acc + logits[0, 0, 0])
-        out = jax.lax.fori_loop(0, iters, body,
-                                (tokens, state, lens, jnp.float32(0)))
-        return out[3]
+    def build_run(n):
+        @jax.jit
+        def run(params, tokens, state, lens):
+            def body(i, carry):
+                tokens, state, lens, acc = carry
+                pos = lens[:, None].astype(jnp.int32)
+                logits, state = mcommon.forward_paged(
+                    params, cfg, tokens, pos, state, table, lens + 1)
+                nxt_tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                return (nxt_tok[:, None], state, lens + 1,
+                        acc + logits[0, 0, 0])
+            out = jax.lax.fori_loop(0, n, body,
+                                    (tokens, state, lens, jnp.float32(0)))
+            return out[3]
+        return run
+
+    run = build_run(iters)
 
     t0 = time.time()
     float(run(params, tok0, state, lens0))
     print(f"compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
-    best = 1e9
+    # slope timing: the relay's ~50 ms readback RTT is paid once per
+    # float() sync, flooring short runs — time two iteration counts and
+    # take the slope so RTT cancels (docs/PERF.md, round-2 discovery)
+    run_hi = build_run(4 * iters)
+    t0 = time.time()
+    float(run_hi(params, tok0, state, lens0))
+    print(f"compile hi: {time.time()-t0:.0f}s", file=sys.stderr)
+    t_lo = t_hi = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
         float(run(params, tok0, state, lens0))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run_hi(params, tok0, state, lens0))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    best = (t_hi - t_lo) / (3 * iters)
 
     scale = 32 / args.layers
     step_ms = best * 1e3 * scale
