@@ -175,9 +175,13 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
 
-    if full_prefill and not cfg.sliding_window:
+    if full_prefill:
+        # windowed models included: the flash path masks the window inside
+        # the kernel (round-1 weak item 5 — Mistral prefill used to fall
+        # back to the S x S masked einsum below)
         out = ops_attn.causal_self_attention(q, new_k, new_v,
-                                             scale=cfg.head_dim ** -0.5)
+                                             scale=cfg.head_dim ** -0.5,
+                                             window=cfg.sliding_window or 0)
         return out, new_cache
 
     smax = k_all.shape[1]

@@ -83,21 +83,22 @@ def main():
           flush=True)
 
     # ---- unrolled per-layer pools ----
-    # per-layer cache dicts (split from the stacked state), layer params
-    # sliced on host so the loop is straight-line
+    # per-layer cache dicts (split from the stacked state) and per-layer
+    # param trees, all passed as jit ARGS (closure capture would bake them
+    # in as compile-request constants -> HTTP 413)
     layer_params = [jax.tree.map(lambda a: a[i], params["layers"])
                     for i in range(NL)]
     caches0 = [{"k": state.k[i], "v": state.v[i],
                 "k_scale": state.k_scale[i], "v_scale": state.v_scale[i]}
                for i in range(NL)]
 
-    def unrolled_step(params, tokens, caches, lens):
+    def unrolled_step(params, lp, tokens, caches, lens):
         pos = lens[:, None].astype(jnp.int32)
         x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
         sin, cos = mcommon.rope_sin_cos(pos, cfg.head_dim, cfg.rope_theta)
         new_caches = []
         for i in range(NL):
-            x, nc = mcommon.decoder_layer(cfg, layer_params[i], x, sin, cos,
+            x, nc = mcommon.decoder_layer(cfg, lp[i], x, sin, cos,
                                           caches[i], pos, lens + 1,
                                           block_table=table)
             new_caches.append(nc)
@@ -108,10 +109,11 @@ def main():
 
     def unrolled_run(n):
         @jax.jit
-        def run(params, tokens, caches, lens):
+        def run(params, lp, tokens, caches, lens):
             def body(i, carry):
                 tokens, caches, lens, acc = carry
-                logits, caches = unrolled_step(params, tokens, caches, lens)
+                logits, caches = unrolled_step(params, lp, tokens, caches,
+                                               lens)
                 nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
                 return (nxt[:, None], caches, lens + 1, acc + logits[0, 0, 0])
             out = jax.lax.fori_loop(0, n, body,
@@ -119,7 +121,7 @@ def main():
             return out[3]
         return run
 
-    t = slope(unrolled_run, (params, tok0, caches0, lens0))
+    t = slope(unrolled_run, (params, layer_params, tok0, caches0, lens0))
     print(f"unrolled : {t*1e6:8.1f} us/step ({t*1e6/NL:.1f}/layer)",
           flush=True)
     print("DONE", flush=True)
