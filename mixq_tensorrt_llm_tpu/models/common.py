@@ -490,40 +490,52 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                   outlier_state: Optional[Dict] = None):
     """Decoder forward over the paged KV pool (continuous-batching path).
 
-    paged_state: runtime.kv_cache.PagedKVState (layers stacked on axis 0)
-    block_table: (B, max_blocks_per_seq) int32 page lists
+    paged_state: runtime.kv_cache.PagedKVState — FLAT pool over layers:
+                 layer l's block b is page row l*num_blocks + b. The pools
+                 ride the layer scan as the CARRY, not xs/ys: stacking a
+                 per-layer pool copy each step, plus a dynamic_update_slice
+                 write next to the Pallas attention custom call, made XLA
+                 copy-protect the whole pool twice per layer (~1.6 ms/layer
+                 at 7B/bs16 — tools/probe_flatpool.py ablation). Flat carry
+                 + the aliased write kernel (ops/paged_write.py) keep the
+                 pool in one buffer for the whole step (360 us/layer).
+    block_table: (B, max_blocks_per_seq) int32 per-layer page lists (the
+                 layer offset is fused in here, inside the scan)
     block_pos:   (B, max_blocks_per_seq) absolute base positions (None =
                  identity layout; required once blocks recycle)
     window/sink: StreamingLLM runtime window in tokens (0 = model default)
     Returns (logits, updated PagedKVState).
     """
     from ..runtime.kv_cache import PagedKVState
+    from ..quant import dynamic as qdyn
 
     x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
     sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
 
-    layer_cache_struct = {"k": paged_state.k, "v": paged_state.v}
-    if paged_state.quantized:
-        layer_cache_struct.update(k_scale=paged_state.k_scale,
-                                  v_scale=paged_state.v_scale)
-    if outlier_state:
-        from ..quant import dynamic as qdyn
-        layer_cache_struct = qdyn.merge_into_cache(layer_cache_struct,
-                                                   outlier_state)
+    num_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    nb = paged_state.k.shape[0] // num_layers
 
-    def body(x, per_layer):
-        layer_params, layer_cache = per_layer
+    pools = {"k": paged_state.k, "v": paged_state.v}
+    if paged_state.quantized:
+        pools.update(k_scale=paged_state.k_scale,
+                     v_scale=paged_state.v_scale)
+
+    def body(carry, per_layer):
+        x, pools = carry
+        layer_params, layer_ostate, layer_idx = per_layer
+        cache = qdyn.merge_into_cache(dict(pools), layer_ostate)
         x, new_cache = decoder_layer(cfg, layer_params, x, sin, cos,
-                                     layer_cache, write_pos, kv_valid_len,
-                                     block_table=block_table,
+                                     cache, write_pos, kv_valid_len,
+                                     block_table=block_table + layer_idx * nb,
                                      block_pos=block_pos,
                                      window=window, sink=sink)
-        return x, new_cache
+        new_pools, new_ostate = qdyn.split_from_cache(new_cache)
+        return (x, new_pools), new_ostate
 
-    x, new_caches = jax.lax.scan(body, x,
-                                 (params["layers"], layer_cache_struct))
-    if outlier_state:
-        new_caches, new_ostate = qdyn.split_from_cache(new_caches)
+    (x, pools), new_ostate = jax.lax.scan(
+        body, (x, pools),
+        (params["layers"], outlier_state or {},
+         jnp.arange(num_layers, dtype=jnp.int32)))
     x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -533,9 +545,9 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     else:
         logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
     new_state = PagedKVState(
-        k=new_caches["k"], v=new_caches["v"],
-        k_scale=new_caches.get("k_scale"),
-        v_scale=new_caches.get("v_scale"))
+        k=pools["k"], v=pools["v"],
+        k_scale=pools.get("k_scale"),
+        v_scale=pools.get("v_scale"))
     if outlier_state:
         return logits.astype(jnp.float32), new_state, new_ostate
     return logits.astype(jnp.float32), new_state

@@ -3,9 +3,14 @@
 TPU-native re-design of the reference's paged KV stack
 (tensorrt_llm/runtime/kv_cache_manager.py — BlocksManager ref-counted pages
 :66-244, KVCacheManager sliding/sink windows :246-378): device state is a
-fixed block pool (L, num_blocks, Hkv, block_size, D) addressed through
-int32 block tables (per-sequence page lists), so variable-length sequences
-live in static shapes and the decode step stays a single compiled program.
+fixed FLAT block pool (L*num_blocks, Hkv, block_size, D) addressed through
+int32 block tables (per-sequence page lists; layer l's block b lives at row
+l*num_blocks + b), so variable-length sequences live in static shapes and
+the decode step stays a single compiled program. The pool is flat — layers
+folded into the page axis — so the whole pool rides the layer scan as ONE
+carry and the aliased Pallas write keeps it in place (see
+models.common.forward_paged; stacked per-layer pools cost ~1.6 ms/layer in
+full-pool copies at 7B/bs16, tools/probe_flatpool.py).
 The free-list/refcount logic is host-side Python exactly like the
 reference's (it is control plane, not data plane).
 
@@ -37,15 +42,17 @@ PAD_POS = np.int32(1 << 30)
 
 
 class PagedKVState(NamedTuple):
-    """Device-side pool. int8 mode carries per-entry scales.
+    """Device-side pool, FLAT over layers: layer l's block b is page row
+    l*num_blocks + b (forward_paged fuses the layer offset into the block
+    table inside the layer scan). int8 mode carries per-entry scales.
 
-    Scale pages are laid out (num_blocks, Hkv, block_size) — block_size on
+    Scale pages are laid out (pages, Hkv, block_size) — block_size on
     lanes — because Mosaic requires 128-aligned lane slices and Hkv is
     usually < 128 (use block_size >= 128 with the TPU decode kernel)."""
 
-    k: jax.Array            # (L, num_blocks, Hkv, block_size, D)
+    k: jax.Array            # (L * num_blocks, Hkv, block_size, D)
     v: jax.Array
-    k_scale: Optional[jax.Array] = None   # (L, num_blocks, Hkv, block_size)
+    k_scale: Optional[jax.Array] = None   # (L*num_blocks, Hkv, block_size)
     v_scale: Optional[jax.Array] = None
 
     @property
@@ -54,19 +61,19 @@ class PagedKVState(NamedTuple):
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
     @property
-    def num_blocks(self) -> int:
-        return self.k.shape[1]
+    def num_pages(self) -> int:
+        return self.k.shape[0]
 
 
 def init_paged_kv(cfg: ModelConfig, num_blocks: int,
                   block_size: int = 64) -> PagedKVState:
-    shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size,
+    shape = (cfg.num_layers * num_blocks, cfg.num_kv_heads, block_size,
              cfg.head_dim)
     if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
-        sshape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size)
+        sshape = (cfg.num_layers * num_blocks, cfg.num_kv_heads, block_size)
         return PagedKVState(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
             k_scale=jnp.ones(sshape, jnp.float32),
@@ -158,7 +165,8 @@ class BlockManager:
 
     def fork(self, src_seq_id: int, dst_seq_id: int) -> SequenceBlocks:
         """Share all blocks (prefix sharing / beam fork); copy-on-write is
-        the caller's job when it writes into a shared tail block."""
+        the caller's job when it writes into a shared tail block (use
+        ensure_exclusive before writing)."""
         src = self.seqs[src_seq_id]
         for b in src.blocks:
             self.ref_counts[b] += 1
@@ -166,6 +174,29 @@ class BlockManager:
                             src.length)
         self.seqs[dst_seq_id] = sb
         return sb
+
+    def ensure_exclusive(self, seq_id: int, pos: int):
+        """Copy-on-write: make the block covering absolute position `pos`
+        exclusively owned by `seq_id` (reference kv_cache_manager beam-width
+        block sharing: shared blocks are duplicated before a beam writes
+        into them). Returns (src_block, dst_block) when a device-side page
+        copy is required, else None."""
+        sb = self.seqs[seq_id]
+        for j in range(len(sb.blocks) - 1, -1, -1):
+            if sb.bases[j] <= pos < sb.bases[j] + self.block_size:
+                break
+        else:
+            raise ValueError(f"position {pos} not covered by seq {seq_id}")
+        blk = sb.blocks[j]
+        if self.ref_counts[blk] <= 1:
+            return None
+        if not self.free:
+            raise RuntimeError("KV pool exhausted during copy-on-write")
+        new = self.free.pop()
+        self.ref_counts[new] += 1
+        self.ref_counts[blk] -= 1
+        sb.blocks[j] = new
+        return (blk, new)
 
     # ------------------------------------------------------------------
     def block_table(self, seq_ids: List[int], max_blocks: int) -> np.ndarray:
@@ -206,8 +237,9 @@ def paged_write(layer_caches, block_table: jax.Array,
                 block_pos: Optional[jax.Array] = None):
     """Scatter new kv at absolute positions into the pool (one layer view).
 
-    layer_caches: dict of this layer's pool slices {k (NB,H,BS,D), ...}
-    block_table:  (B, max_blocks) int32
+    layer_caches: dict of flat pools {k (L*NB,H,BS,D), ...}
+    block_table:  (B, max_blocks) int32 — GLOBAL page rows (the caller
+                  folds the layer offset in: layer*NB + block)
     write_pos:    (B, S) absolute token positions
     new_k/new_v:  (B, S, H, D)
     valid:        (B, S) bool; invalid (padding) writes are redirected to
@@ -237,8 +269,19 @@ def paged_write(layer_caches, block_table: jax.Array,
         blk = jnp.where(valid, blk, 0)
 
     if new_k.shape[1] == 1:
-        # decode: per-sequence dynamic_update_slice chains beat an XLA
-        # scatter ~1.6x on TPU (measured; scatter was 2.7 ms/layer)
+        from ..ops._util import _on_tpu
+        import os
+        if _on_tpu() and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0":
+            # decode: aliased Pallas RMW of the one target page per seq.
+            # A dynamic_update_slice next to the Pallas attention read of
+            # the same scan-carried pool makes XLA copy-protect the WHOLE
+            # pool every layer (alias analysis can't see through the custom
+            # call): 1623 us/layer vs 360 with this kernel (probe_flatpool)
+            from ..ops.paged_write import paged_write_token
+            return paged_write_token(layer_caches, blk[:, 0], off[:, 0],
+                                     new_k[:, 0], new_v[:, 0])
+        # CPU/fallback: per-sequence dynamic_update_slice chains (beat an
+        # XLA scatter ~1.6x on TPU when they were the default)
         return _paged_write_decode(layer_caches, blk[:, 0], off[:, 0],
                                    new_k[:, 0], new_v[:, 0], quantized)
     # kv pages are (NB, Hkv, BS, D) and scale pages (NB, Hkv, BS): the
