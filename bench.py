@@ -1,22 +1,32 @@
-"""Headline benchmark: Llama-2-7B-geometry int8_mix prefill throughput.
+"""Headline benchmark: Llama-2-7B-geometry int8_mix prefill + decode.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N,
+   "decode_tok_s": N, "decode_vs_bf16": N, ...}
 
-The workload mirrors the reference's headline (WikiText-2 PPL-eval
+The headline workload mirrors the reference's (WikiText-2 PPL-eval
 throughput at batch 32 on Llama-2-7B, README.md:7-30 — a prefill-dominated
 job). `vs_baseline` is the speedup over bf16 on the same chip; the driver
-north-star is >=2x (BASELINE.md). The bf16 baseline model does not fit in
-16 GB HBM at 7B, so it is measured on a half-depth model and scaled by
+north-star is >=2x (BASELINE.md). Prefill on this chip is roofline-capped
+at ~1.35x (int8:bf16 MXU dot ratio 1.39, docs/PERF.md), so the JSON also
+carries the bandwidth-bound decode regime — bs=16 ctx=1024 paged decode
+steps, int8_mix+int8-KV vs bf16 — where int8's 2x HBM saving pays in
+full (the reference's weightOnlyBatchedGemv / M<=4 regime).
+
+The bf16 baseline model does not fit in 16 GB HBM at 7B, so both decode
+variants and the bf16 prefill baseline run at 8 layers and are scaled by
 layer count (per-layer cost is uniform; noted in stderr).
 
 Timing note: the axon relay is fully asynchronous (block_until_ready does
 not wait for remote execution and host readback costs ~45 ms RTT), so each
-measurement chains K dependent steps on device and syncs once with a scalar
-readback; RTT is measured separately and subtracted.
+measurement chains K dependent steps on device and syncs once with a
+scalar readback. Prefill steps are ~1 s each so one RTT subtraction
+suffices; decode steps are ~ms, so decode uses slope timing — two chained
+runs at different iteration counts, rate = d_time/d_iters — which cancels
+the RTT exactly (docs/PERF.md, round-2 discovery).
 
 Env knobs: MIXQ_BENCH_TINY=1 (CI smoke), MIXQ_BENCH_BS, MIXQ_BENCH_SEQ,
-MIXQ_BENCH_ITERS.
+MIXQ_BENCH_ITERS, MIXQ_BENCH_SKIP_DECODE=1.
 """
 
 import json
@@ -86,6 +96,53 @@ def timeit(fn, params, tokens, pos, cache, lens, iters):
     return total / iters
 
 
+def measure_decode(cfg_kw, quant, bs, ctx, layers, iters):
+    """Slope-timed paged decode steps; returns seconds/step at `layers`."""
+    from mixq_tensorrt_llm_tpu.models import (ModelConfig, llama as mllama,
+                                              common as mcommon)
+    from mixq_tensorrt_llm_tpu.runtime.kv_cache import init_paged_kv
+    import numpy as np
+
+    cfg = ModelConfig(**dict(cfg_kw, num_layers=layers), quant=quant)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    block_size = 128   # int8-KV decode kernel needs 128-lane pages
+    mb = -(-(ctx + 4 * iters) // block_size) + 1
+    state = init_paged_kv(cfg, bs * mb + 1, block_size)
+    table = jnp.asarray(
+        np.arange(1, bs * mb + 1, dtype=np.int32).reshape(bs, mb))
+    lens0 = jnp.full((bs,), ctx, jnp.int32)
+    tok0 = jnp.ones((bs, 1), jnp.int32)
+
+    def build_run(n):
+        @jax.jit
+        def run(params, tokens, state, lens):
+            def body(i, carry):
+                tokens, state, lens, acc = carry
+                pos = lens[:, None].astype(jnp.int32)
+                logits, state = mcommon.forward_paged(
+                    params, cfg, tokens, pos, state, table, lens + 1)
+                nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                return nxt[:, None], state, lens + 1, acc + logits[0, 0, 0]
+            return jax.lax.fori_loop(
+                0, n, body, (tokens, state, lens, jnp.float32(0)))[3]
+        return run
+
+    run_lo, run_hi = build_run(iters), build_run(4 * iters)
+    t0 = time.time()
+    float(run_lo(params, tok0, state, lens0))
+    float(run_hi(params, tok0, state, lens0))
+    log(f"  decode compile+first {time.time() - t0:.0f}s")
+    t_lo = t_hi = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run_lo(params, tok0, state, lens0))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run_hi(params, tok0, state, lens0))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    return (t_hi - t_lo) / (3 * iters)
+
+
 def main():
     from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
                                              KVCacheQuantAlgo)
@@ -137,12 +194,38 @@ def main():
     bf16_tok_s = batch * seq / t_bf16
     log(f"[bench] bf16 (scaled): {t_bf16 * 1e3:.1f} ms/step -> "
         f"{bf16_tok_s:,.0f} tok/s")
+    del handles
+
+    extra = {}
+    # tiny mode skips decode: the paged kernel's layouts assume full-size
+    # head_dim/page shapes (Mosaic can't lower the tiny-geometry transpose)
+    if os.environ.get("MIXQ_BENCH_SKIP_DECODE") != "1" and not tiny:
+        d_layers, d_bs, d_ctx, d_iters = baseline_layers, 16, 1024, 16
+        scale = cfg_kw["num_layers"] / d_layers
+        try:
+            log(f"[bench] decode int8_mix+int8kv bs={d_bs} ctx={d_ctx} "
+                f"({d_layers} layers, scaled)")
+            t_d = measure_decode(cfg_kw, mix, d_bs, d_ctx, d_layers,
+                                 d_iters) * scale
+            log(f"[bench] decode int8_mix: {t_d * 1e3:.2f} ms/step -> "
+                f"{d_bs / t_d:,.0f} tok/s")
+            log(f"[bench] decode bf16 bs={d_bs} ctx={d_ctx}")
+            t_db = measure_decode(cfg_kw, QuantConfig(), d_bs, d_ctx,
+                                  d_layers, d_iters) * scale
+            log(f"[bench] decode bf16: {t_db * 1e3:.2f} ms/step -> "
+                f"{d_bs / t_db:,.0f} tok/s")
+            extra = {"decode_tok_s": round(d_bs / t_d, 1),
+                     "decode_vs_bf16": round(t_db / t_d, 3),
+                     "decode_bs": d_bs, "decode_ctx": d_ctx}
+        except Exception as e:   # decode extras must not sink the headline
+            log(f"[bench] decode measurement failed: {e!r}")
 
     print(json.dumps({
         "metric": name,
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / bf16_tok_s, 3),
+        **extra,
     }))
 
 

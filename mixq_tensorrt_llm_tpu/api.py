@@ -110,11 +110,14 @@ class LLM:
                         max_new_tokens: int = 64,
                         sampling: SamplingConfig = SamplingConfig(),
                         eos_token_id: Optional[int] = None,
+                        num_beams: int = 1,
                         seed: int = 0) -> GenerationOutput:
-        """Token-id in, GenerationOutput out."""
+        """Token-id in, GenerationOutput out. num_beams > 1 runs paged
+        beam search with KV-block sharing across beams."""
         return self.session.generate(list(prompts), max_new_tokens,
                                      sampling=sampling,
-                                     eos_token_id=eos_token_id, seed=seed)
+                                     eos_token_id=eos_token_id,
+                                     num_beams=num_beams, seed=seed)
 
     def make_executor(self, max_batch: int = 8, block_size: int = 64,
                       prefill_chunk: int = 256,

@@ -106,13 +106,30 @@ class GenerationSession:
                  eos_token_id: Optional[int] = None,
                  min_new_tokens: int = 0,
                  stop_sequences: Optional[Sequence[Sequence[int]]] = None,
+                 num_beams: int = 1, length_penalty: float = 1.0,
                  seed: int = 0) -> GenerationOutput:
         """Generate completions for a batch of token-id prompts.
 
         min_new_tokens bans eos until that many tokens exist (reference
         dynamic-decoder min_length); stop_sequences are token-id suffixes
-        that end a sequence (reference stop-words list).
+        that end a sequence (reference stop-words list). num_beams > 1
+        switches to deterministic beam search over the paged KV pool with
+        block sharing across beams (reference SamplingConfig.num_beams +
+        kv_cache_manager beam-width sharing); sampling/min_new_tokens/
+        stop_sequences do not apply there.
         """
+        if num_beams > 1:
+            from .beam import paged_beam_search
+            res = paged_beam_search(
+                self.params, self.cfg, [list(p) for p in prompts],
+                max_new_tokens, num_beams=num_beams,
+                length_penalty=length_penalty, eos_token_id=eos_token_id,
+                max_seq_len=self.max_seq_len)
+            return GenerationOutput(
+                sequences=res.sequences,
+                num_prompt_tokens=[len(p) for p in prompts],
+                num_generated=[len(s) - len(p)
+                               for s, p in zip(res.sequences, prompts)])
         b = len(prompts)
         lens_list = [len(p) for p in prompts]
         max_prompt = max(lens_list)
