@@ -188,13 +188,32 @@ def main():
     del handles
 
     bl_kw = dict(cfg_kw, num_layers=baseline_layers)
-    log(f"[bench] bf16 baseline ({baseline_layers} layers, scaled)")
+    log(f"[bench] bf16 baseline ({baseline_layers} layers)")
     handles = build(bl_kw, QuantConfig(), batch, seq)
-    t_bf16 = timeit(*handles, iters) * (cfg_kw["num_layers"] / baseline_layers)
-    bf16_tok_s = batch * seq / t_bf16
-    log(f"[bench] bf16 (scaled): {t_bf16 * 1e3:.1f} ms/step -> "
-        f"{bf16_tok_s:,.0f} tok/s")
+    t_hi_l = timeit(*handles, iters)
     del handles
+    full_l = cfg_kw["num_layers"]
+    if tiny:
+        t_bf16 = t_hi_l * (full_l / baseline_layers)
+    else:
+        # affine depth extrapolation t(L) = a + b*L: step time is linear in
+        # depth but has a real intercept (embed + lm_head + sampling,
+        # measured 6.4% of the 8-layer step — tools/probe_linearity.py), so
+        # pure t8*(L/8) scaling would overstate the bf16 baseline ~5% and
+        # flatter the int8 ratio. Two depths pin the per-layer slope.
+        half = baseline_layers // 2
+        log(f"[bench] bf16 baseline ({half} layers, for the affine fit)")
+        handles = build(dict(cfg_kw, num_layers=half), QuantConfig(),
+                        batch, seq)
+        t_lo_l = timeit(*handles, iters)
+        del handles
+        b_layer = (t_hi_l - t_lo_l) / (baseline_layers - half)
+        t_bf16 = t_hi_l + (full_l - baseline_layers) * b_layer
+        log(f"[bench] bf16 per-layer {b_layer*1e3:.1f} ms, intercept "
+            f"{(t_hi_l - baseline_layers*b_layer)*1e3:.1f} ms")
+    bf16_tok_s = batch * seq / t_bf16
+    log(f"[bench] bf16 (affine-extrapolated to {full_l}L): "
+        f"{t_bf16 * 1e3:.1f} ms/step -> {bf16_tok_s:,.0f} tok/s")
 
     extra = {}
     # tiny mode skips decode: the paged kernel's layouts assume full-size

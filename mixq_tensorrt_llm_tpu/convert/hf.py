@@ -17,7 +17,6 @@ from typing import Dict, Iterable, Mapping, Optional
 import numpy as np
 
 from ..models import registry
-from ..models import llama as mllama
 from ..models.common import ModelConfig
 from ..quant.config import QuantConfig
 from . import calibrate as calib
@@ -83,12 +82,12 @@ def quantize_hf_model(
     if act_scales is None and calib_batches is not None and quant.algo.is_mix:
         import dataclasses
         float_cfg = dataclasses.replace(cfg, quant=QuantConfig())
-        float_params = mllama.params_from_hf(float_cfg, sd)
+        float_params = registry.params_from_hf(float_cfg, sd)
         act_scales = calib.calibrate_act_scales(float_params, float_cfg,
                                                 calib_batches)
         del float_params
 
-    params = mllama.params_from_hf(cfg, sd, act_scales)
+    params = registry.params_from_hf(cfg, sd, act_scales)
     save_checkpoint(output_dir, params, cfg)
     if act_scales is not None:
         calib.save_act_scales(act_scales,

@@ -32,7 +32,7 @@ class ModelConfig:
     Llama/Qwen2 (tensorrt_llm/models/modeling_utils.py PretrainedConfig).
     """
 
-    arch: str = "llama"                  # "llama" | "qwen2"
+    arch: str = "llama"                  # registry key (models/registry.py)
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -48,6 +48,25 @@ class ModelConfig:
     num_experts: int = 0                 # 0 = dense MLP (Mixtral: 8)
     top_k_experts: int = 2
     tie_word_embeddings: bool = False
+    # --- architecture axes beyond the llama family (defaults = llama).
+    # These reproduce the reference zoo's structural spread
+    # (tensorrt_llm/models/{opt,gptj,gptneox,falcon,bloom,gemma,phi,gpt}/,
+    # MixQ/src/mixquant/models/auto.py registry) as config, not per-arch
+    # forward code: one decoder serves every family.
+    pos_embedding: str = "rope"          # rope | learned | alibi | none
+    rotary_dim: int = 0                  # 0 = full head_dim (GPT-J 64, NeoX/Phi pct)
+    rope_interleaved: bool = False       # GPT-J pairwise ordering
+    learned_pos_offset: int = 0          # OPT embeds positions at pos+2
+    norm_type: str = "rmsnorm"           # rmsnorm | layernorm
+    parallel_blocks: bool = False        # attn & mlp from the same residual
+    shared_block_norm: bool = False      # parallel with ONE norm (GPT-J/Falcon/Phi)
+    mlp_type: str = "gated"              # gated (SwiGLU/GeGLU) | dense (fc1-act-fc2)
+    hidden_act: str = "silu"             # silu|gelu|gelu_new|relu
+    attn_out_bias: bool = False
+    mlp_bias: bool = False
+    lm_head_bias: bool = False           # GPT-J / Phi
+    embed_scale: float = 1.0             # Gemma: sqrt(hidden)
+    embed_norm: bool = False             # BLOOM word_embeddings_layernorm
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
 
@@ -131,13 +150,66 @@ def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float
     return jnp.sin(angles), jnp.cos(angles)
 
 
-def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
-    """x (B, S, H, D); sin/cos (B, S, D/2). Non-interleaved (rotate_half)."""
+def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array,
+               interleaved: bool = False) -> jax.Array:
+    """x (B, S, H, D); sin/cos (B, S, D/2).
+
+    interleaved=False: rotate_half ordering (llama/neox/phi).
+    interleaved=True: pairwise (even, odd) ordering (GPT-J)."""
+    s, c = sin[:, :, None, :], cos[:, :, None, :]
+    if interleaved:
+        x1 = x[..., 0::2].astype(jnp.float32)
+        x2 = x[..., 1::2].astype(jnp.float32)
+        ro = jnp.stack([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+        return ro.reshape(x.shape).astype(x.dtype)
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(jnp.float32)
-    s, c = sin[:, :, None, :], cos[:, :, None, :]
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s],
                            axis=-1).astype(x.dtype)
+
+
+def _apply_positional(cfg: ModelConfig, x: jax.Array, sin, cos) -> jax.Array:
+    """Apply RoPE to the (possibly partial) rotary span of head dims."""
+    rd = cfg.rotary_dim or cfg.head_dim
+    if rd == cfg.head_dim:
+        return apply_rope(x, sin, cos, interleaved=cfg.rope_interleaved)
+    rot = apply_rope(x[..., :rd], sin, cos,
+                     interleaved=cfg.rope_interleaved)
+    return jnp.concatenate([rot, x[..., rd:]], axis=-1)
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi per-head slopes (Press et al.; HF build_alibi_tensor;
+    reference AttentionParams alibi path). Closest-power-of-2 scheme for
+    non-power-of-2 head counts."""
+    import math
+    n = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-8.0 / n)
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < num_heads:
+        extra = 2.0 ** (-4.0 / n)
+        slopes += [extra ** (2 * i + 1) for i in range(num_heads - n)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def _act(name: str, x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if name == "silu":
+        return jax.nn.silu(xf)
+    if name == "gelu":
+        return jax.nn.gelu(xf, approximate=False)
+    if name in ("gelu_new", "gelu_tanh", "gelu_pytorch_tanh", "gelu_fast"):
+        return jax.nn.gelu(xf, approximate=True)
+    if name == "relu":
+        return jax.nn.relu(xf)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def block_norm(cfg: ModelConfig, x: jax.Array, p: Dict) -> jax.Array:
+    """The per-block norm: RMSNorm (llama lineage) or LayerNorm (+bias)."""
+    if cfg.norm_type == "layernorm":
+        return ops_ref.layernorm(x, p["w"], p.get("b"), cfg.rms_norm_eps)
+    return ops_ref.rmsnorm(x, p["w"], cfg.rms_norm_eps)
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +217,8 @@ def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
-                          write_pos, kv_valid_len, full_prefill: bool = False):
+                          write_pos, kv_valid_len, full_prefill: bool = False,
+                          alibi=None):
     """Write new_k/new_v into this layer's cache at write_pos and attend.
 
     q/new_k/new_v: (B, S, H, D); layer_cache: dict with k/v (+scales) of
@@ -166,8 +239,7 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         cv = cv.at[batch_idx, write_pos].set(qv)
         cks = layer_cache["k_scale"].at[batch_idx, write_pos].set(sk)
         cvs = layer_cache["v_scale"].at[batch_idx, write_pos].set(sv)
-        k_all = qcore.dequantize_kv(ck, cks, dtype=cfg.dtype)
-        v_all = qcore.dequantize_kv(cv, cvs, dtype=cfg.dtype)
+        k_all = v_all = None   # attended directly in int8 (see below)
         new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
     else:
         ck = ck.at[batch_idx, write_pos].set(new_k.astype(ck.dtype))
@@ -175,16 +247,17 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
 
-    if full_prefill:
+    if full_prefill and alibi is None:
         # windowed models included: the flash path masks the window inside
         # the kernel (round-1 weak item 5 — Mistral prefill used to fall
-        # back to the S x S masked einsum below)
+        # back to the S x S masked einsum below). ALiBi models stay on the
+        # masked path: the flash kernels take no additive bias.
         out = ops_attn.causal_self_attention(q, new_k, new_v,
                                              scale=cfg.head_dim ** -0.5,
                                              window=cfg.sliding_window or 0)
         return out, new_cache
 
-    smax = k_all.shape[1]
+    smax = ck.shape[1]
     kv_idx = jnp.arange(smax)
     # mask (B, 1, S, Smax): causal in absolute positions, limited to valid len
     mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
@@ -193,14 +266,28 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         # Mistral-style window: attend only the last W positions
         mask &= (kv_idx[None, None, None, :] >
                  write_pos[:, None, :, None] - cfg.sliding_window)
-    out = ops_ref.attention(q, k_all, v_all, mask=mask,
-                            scale=cfg.head_dim ** -0.5)
+    bias = None
+    if alibi is not None:
+        # slope_h * kv_pos is softmax-equivalent to slope_h * (kv - q)
+        # (per-query constants cancel) — the HF BLOOM formulation
+        bias = alibi[None, :, None, None] * kv_idx[None, None, None, :]
+    if k_all is None:
+        # int8 KV: attend straight over the quantized cache — the scales
+        # factor onto logits/probs, so no dequantized (B, Smax, H, D) copy
+        # is ever materialized (round-1 weak item 6)
+        out = ops_ref.attention_int8kv(q, ck, cks, cv, cvs, mask=mask,
+                                       scale=cfg.head_dim ** -0.5,
+                                       bias=bias)
+    else:
+        out = ops_ref.attention(q, k_all, v_all, mask=mask,
+                                scale=cfg.head_dim ** -0.5, bias=bias)
     return out, new_cache
 
 
 def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                      block_table, write_pos, kv_valid_len,
-                     block_pos=None, window: int = 0, sink: int = 0):
+                     block_pos=None, window: int = 0, sink: int = 0,
+                     alibi=None):
     """Paged-cache attention: scatter new kv into the block pool, attend
     over the pages in place. Shapes as in _attention_with_cache but the
     cache is a (NB, Hkv, BS, H, D) pool addressed via block_table (B, MB)
@@ -223,7 +310,7 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                                  new_k, new_v, quantized, valid=valid,
                                  block_pos=block_pos)
 
-    if _use_paged_kernel():
+    if _use_paged_kernel() and alibi is None:
         if q.shape[1] == 1:
             # decode: flash-decoding Pallas kernel reads pages in place
             # (int8 dequant in VMEM); the jnp gather path below would
@@ -264,8 +351,11 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
            (kv_pos < kv_valid_len[:, None, None, None])
     if window:
         mask &= (kv_pos > qpos - window) | (kv_pos < sink)
+    bias = None
+    if alibi is not None:
+        bias = alibi[None, :, None, None] * kv_pos.astype(jnp.float32)
     out = ops_ref.attention(q, k_all, v_all, mask=mask,
-                            scale=cfg.head_dim ** -0.5)
+                            scale=cfg.head_dim ** -0.5, bias=bias)
     return out, new_caches
 
 
@@ -285,8 +375,22 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   sin, cos, layer_cache, write_pos, kv_valid_len,
                   collect_stats: bool = False, block_table=None,
                   block_pos=None, window: int = 0, sink: int = 0,
-                  full_prefill: bool = False):
-    """One pre-norm decoder block. x: (B, S, hidden).
+                  full_prefill: bool = False, alibi=None, lora_ids=None):
+    """One decoder block, config-driven across the zoo. x: (B, S, hidden).
+
+    lora_ids (B,) int32 selects a stacked runtime-LoRA adapter per lane
+    (0 = base); layer_params carry lora_A (N+1, in, R) / lora_B (N+1, R,
+    out) per targeted module (convert/lora.build_lora_stack — reference
+    lora_manager + per-request LoraConfig). The delta (x·A_id)·B_id rides
+    on top of the quantized base GEMM.
+
+    Structure axes (reference per-arch model classes, collapsed to config):
+    - sequential pre-norm (llama lineage) vs parallel attn+mlp blocks
+      (GPT-J/Falcon/Phi share ONE norm; NeoX uses two) — reference
+      tensorrt_llm/models/{gptj,falcon,gptneox}/model.py
+    - RMSNorm vs LayerNorm; gated (SwiGLU/GeGLU) vs dense fc1-act-fc2 MLP
+    - rope (full/partial/interleaved) applied here; ALiBi enters as an
+      additive attention bias; learned positions are added at the embedding
 
     With collect_stats=True also returns per-linear input-channel absmax
     (the act_scales calibration signal, reference
@@ -335,88 +439,169 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                     else QuantAlgo.W4A16)
         return a
 
-    # --- attention --- (norm fused into the quantized qkv GEMM when mix)
-    if collect_stats:
-        h_in = ops_ref.rmsnorm(x, layer_params["input_norm"]["w"],
-                               cfg.rms_norm_eps)
-        stats["qkv_proj"] = _absmax_in(h_in)
-    if "qkv_proj" in ostate and _algo("qkv_proj").is_mix:
-        qkv = adaptive("qkv_proj",
-                       ops_ref.rmsnorm(x, layer_params["input_norm"]["w"],
-                                       cfg.rms_norm_eps))
-    else:
-        qkv = dispatch.norm_linear(layer_params["qkv_proj"], x,
-                                   _algo("qkv_proj"),
-                                   layer_params["input_norm"]["w"],
-                                   eps=cfg.rms_norm_eps)
+    def _has_lora(mod):
+        return lora_ids is not None and "lora_A" in layer_params[mod]
+
+    def _lora(mod, h, out):
+        """out += (h · A_id) · B_id for the lane-selected runtime adapters
+        (convert/lora.build_lora_stack; reference lora_manager)."""
+        if not _has_lora(mod):
+            return out
+        lp = layer_params[mod]
+        a = jnp.take(lp["lora_A"], lora_ids, axis=0)   # (B, in, R)
+        bm = jnp.take(lp["lora_B"], lora_ids, axis=0)  # (B, R, out)
+        t = jnp.einsum("bsi,bir->bsr", h.astype(jnp.float32),
+                       a.astype(jnp.float32))
+        d = jnp.einsum("bsr,bro->bso", t, bm.astype(jnp.float32))
+        return out + d.astype(out.dtype)
+
+    def proj_in(mod, norm_key, x_res, shared_h=None):
+        """Block-input projection: norm(x_res) -> quantized linear.
+
+        The RMSNorm is fused into the mix GEMM (dispatch.norm_linear, the
+        FasterTransformerRMSNorm+MixLinear pairing) whenever nothing else
+        needs the normed activations; LayerNorm archs, parallel blocks with
+        a shared norm, stats collection, runtime LoRA, and the
+        adaptive-outlier path compute the norm explicitly."""
+        p_norm = layer_params[norm_key]
+        adaptive_path = mod in ostate and _algo(mod).is_mix
+        h = shared_h
+        if h is None and (adaptive_path or collect_stats or _has_lora(mod)
+                          or cfg.norm_type != "rmsnorm"):
+            h = block_norm(cfg, x_res, p_norm)
+        if collect_stats:
+            stats[mod] = _absmax_in(h)
+        if adaptive_path:
+            return _lora(mod, h, adaptive(mod, h))
+        if h is None:
+            return dispatch.norm_linear(layer_params[mod], x_res, _algo(mod),
+                                        p_norm["w"], eps=cfg.rms_norm_eps)
+        return _lora(mod, h, dispatch.linear(layer_params[mod], h,
+                                             _algo(mod)))
+
+    shared_h = None
+    if cfg.parallel_blocks and cfg.shared_block_norm:
+        shared_h = block_norm(cfg, x, layer_params["input_norm"])
+
+    # --- attention ---
+    qkv = proj_in("qkv_proj", "input_norm", x, shared_h=shared_h)
     q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    q = apply_rope(q, sin, cos)
-    k = apply_rope(k, sin, cos)
+    if sin is not None:
+        q = _apply_positional(cfg, q, sin, cos)
+        k = _apply_positional(cfg, k, sin, cos)
     if block_table is not None:
         attn, new_cache = _attention_paged(cfg, q, k, v, layer_cache,
                                            block_table, write_pos,
                                            kv_valid_len,
                                            block_pos=block_pos,
-                                           window=window, sink=sink)
+                                           window=window, sink=sink,
+                                           alibi=alibi)
     else:
         attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
                                                 write_pos, kv_valid_len,
-                                                full_prefill=full_prefill)
-    attn = attn.reshape(b, s, cfg.q_size)
+                                                full_prefill=full_prefill,
+                                                alibi=alibi)
+    attn_in = attn.reshape(b, s, cfg.q_size)
     if collect_stats:
-        stats["o_proj"] = _absmax_in(attn)
+        stats["o_proj"] = _absmax_in(attn_in)
     if "o_proj" in ostate and _algo("o_proj").is_mix:
-        attn = adaptive("o_proj", attn)
+        attn = adaptive("o_proj", attn_in)
     else:
-        attn = dispatch.linear(layer_params["o_proj"], attn,
+        attn = dispatch.linear(layer_params["o_proj"], attn_in,
                                _algo("o_proj"))
-    x = x + attn.astype(x.dtype)
+    attn = _lora("o_proj", attn_in, attn)
 
-    # --- mlp: dense SwiGLU or MoE (Mixtral) ---
+    if cfg.parallel_blocks:
+        mlp_res, mlp_shared = x, shared_h     # mlp reads the block input
+    else:
+        x = x + attn.astype(x.dtype)
+        mlp_res, mlp_shared = x, None
+
+    # --- mlp: gated (SwiGLU/GeGLU), dense fc1-act-fc2, or MoE (Mixtral) ---
+    mlp_norm = "input_norm" if cfg.shared_block_norm else "post_norm"
     if cfg.num_experts > 0:
         from . import moe as moe_mod
-        h_in = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
-                               cfg.rms_norm_eps)
+        h_in = mlp_shared if mlp_shared is not None else block_norm(
+            cfg, mlp_res, layer_params[mlp_norm])
         if collect_stats:
             stats["gate_up_proj"] = _absmax_in(h_in)
             stats["down_proj"] = _absmax_in(h_in)   # shared input proxy
         h = moe_mod.moe_mlp(cfg, layer_params["moe"], h_in)
     else:
-        if collect_stats:
-            h_in = ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
-                                   cfg.rms_norm_eps)
-            stats["gate_up_proj"] = _absmax_in(h_in)
-        if "gate_up_proj" in ostate and _algo("gate_up_proj").is_mix:
-            gate_up = adaptive(
-                "gate_up_proj",
-                ops_ref.rmsnorm(x, layer_params["post_norm"]["w"],
-                                cfg.rms_norm_eps))
+        up_out = proj_in("gate_up_proj", mlp_norm, mlp_res,
+                         shared_h=mlp_shared)
+        if cfg.mlp_type == "gated":
+            gate, up = jnp.split(up_out, 2, axis=-1)
+            h = (_act(cfg.hidden_act, gate) *
+                 up.astype(jnp.float32)).astype(x.dtype)
         else:
-            gate_up = dispatch.norm_linear(layer_params["gate_up_proj"], x,
-                                           _algo("gate_up_proj"),
-                                           layer_params["post_norm"]["w"],
-                                           eps=cfg.rms_norm_eps)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        h = (jax.nn.silu(gate.astype(jnp.float32)) *
-             up.astype(jnp.float32)).astype(x.dtype)
+            h = _act(cfg.hidden_act, up_out).astype(x.dtype)
         if collect_stats:
             stats["down_proj"] = _absmax_in(h)
-        h = dispatch.linear(layer_params["down_proj"], h,
-                            _algo("down_proj"))
-    out = x + h.astype(x.dtype)
+        h = _lora("down_proj", h,
+                  dispatch.linear(layer_params["down_proj"], h,
+                                  _algo("down_proj")))
+
+    if cfg.parallel_blocks:
+        out = x + attn.astype(x.dtype) + h.astype(x.dtype)
+    else:
+        out = x + h.astype(x.dtype)
     new_cache = qdyn.merge_into_cache(new_cache, new_ostate)
     if collect_stats:
         return out, new_cache, stats
     return out, new_cache
 
 
+def _positional_arrays(cfg: ModelConfig, write_pos: jax.Array):
+    """(sin, cos, alibi_slopes) for the decoder layers; unused slots None."""
+    if cfg.pos_embedding == "rope":
+        rd = cfg.rotary_dim or cfg.head_dim
+        sin, cos = rope_sin_cos(write_pos, rd, cfg.rope_theta)
+        return sin, cos, None
+    if cfg.pos_embedding == "alibi":
+        return None, None, alibi_slopes(cfg.num_heads)
+    return None, None, None
+
+
+def _embed(params: Dict, cfg: ModelConfig, tokens: jax.Array,
+           write_pos: jax.Array) -> jax.Array:
+    """Token embedding + the non-rotary positional schemes."""
+    x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
+    if cfg.embed_scale != 1.0:
+        # Gemma scales embeddings by sqrt(hidden) (cast to model dtype
+        # first, matching HF's normalizer rounding)
+        x = x * jnp.asarray(cfg.embed_scale, cfg.dtype)
+    if cfg.embed_norm:   # BLOOM word_embeddings_layernorm
+        x = ops_ref.layernorm(x, params["embed_norm"]["w"],
+                              params["embed_norm"].get("b"),
+                              cfg.rms_norm_eps)
+    if cfg.pos_embedding == "learned":
+        x = x + jnp.take(params["pos_embed"]["w"],
+                         write_pos + cfg.learned_pos_offset,
+                         axis=0).astype(cfg.dtype)
+    return x
+
+
+def _head(params: Dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Final norm + LM head (tied or separate, optional bias)."""
+    x = block_norm(cfg, x, params["final_norm"])
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        logits = jnp.dot(x.astype(jnp.bfloat16),
+                         params["embed"]["w"].T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
+    return logits.astype(jnp.float32)
+
+
 def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
             write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array,
             collect_stats: bool = False, full_prefill: bool = False,
-            outlier_state: Optional[Dict] = None):
+            outlier_state: Optional[Dict] = None, lora_ids=None):
     """Full decoder forward.
 
     tokens:       (B, S) int32
@@ -429,8 +614,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     Returns (logits (B, S, vocab) float32, updated cache
     [, outlier_state][, stats]).
     """
-    x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
-    sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
+    x = _embed(params, cfg, tokens, write_pos)
+    sin, cos, alibi = _positional_arrays(cfg, write_pos)
 
     layer_cache_struct = {"k": cache.k, "v": cache.v}
     if cache.quantized:
@@ -445,7 +630,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         res = decoder_layer(cfg, layer_params, x, sin, cos,
                             layer_cache, write_pos, kv_valid_len,
                             collect_stats=collect_stats,
-                            full_prefill=full_prefill)
+                            full_prefill=full_prefill, alibi=alibi,
+                            lora_ids=lora_ids)
         if collect_stats:
             x, new_cache, stats = res
             return x, (new_cache, stats)
@@ -460,16 +646,7 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         new_caches, stats = scan_out, None
     if outlier_state:
         new_caches, new_ostate = qdyn.split_from_cache(new_caches)
-    x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
-
-    lm_head = params.get("lm_head")
-    if lm_head is None:  # tied embeddings
-        logits = jnp.dot(x.astype(jnp.bfloat16),
-                         params["embed"]["w"].T.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
-        logits = logits.astype(jnp.float32)
+    logits = _head(params, cfg, x)
 
     new_cache = KVCache(
         k=new_caches["k"], v=new_caches["v"],
@@ -487,7 +664,7 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                   write_pos: jax.Array, paged_state, block_table: jax.Array,
                   kv_valid_len: jax.Array, block_pos=None,
                   window: int = 0, sink: int = 0,
-                  outlier_state: Optional[Dict] = None):
+                  outlier_state: Optional[Dict] = None, lora_ids=None):
     """Decoder forward over the paged KV pool (continuous-batching path).
 
     paged_state: runtime.kv_cache.PagedKVState — FLAT pool over layers:
@@ -509,8 +686,8 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     from ..runtime.kv_cache import PagedKVState
     from ..quant import dynamic as qdyn
 
-    x = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
-    sin, cos = rope_sin_cos(write_pos, cfg.head_dim, cfg.rope_theta)
+    x = _embed(params, cfg, tokens, write_pos)
+    sin, cos, alibi = _positional_arrays(cfg, write_pos)
 
     num_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
     nb = paged_state.k.shape[0] // num_layers
@@ -528,7 +705,8 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                                      cache, write_pos, kv_valid_len,
                                      block_table=block_table + layer_idx * nb,
                                      block_pos=block_pos,
-                                     window=window, sink=sink)
+                                     window=window, sink=sink, alibi=alibi,
+                                     lora_ids=lora_ids)
         new_pools, new_ostate = qdyn.split_from_cache(new_cache)
         return (x, new_pools), new_ostate
 
@@ -536,14 +714,7 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         body, (x, pools),
         (params["layers"], outlier_state or {},
          jnp.arange(num_layers, dtype=jnp.int32)))
-    x = ops_ref.rmsnorm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        logits = jnp.dot(x.astype(jnp.bfloat16),
-                         params["embed"]["w"].T.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
+    logits = _head(params, cfg, x)
     new_state = PagedKVState(
         k=pools["k"], v=pools["v"],
         k_scale=pools.get("k_scale"),

@@ -2,8 +2,10 @@
 
 Replacement for the reference's model zoo dispatch
 (tensorrt_llm/models/__init__.py MODEL_MAP; MixQ/src/mixquant/models/auto.py
-CAUSAL_LM_MODEL_MAP). Llama covers the llama/mistral lineage; Qwen2 differs
-only by qkv bias and defaults, so both share models/llama.py converters.
+CAUSAL_LM_MODEL_MAP). The llama lineage (llama/mistral/qwen2/mixtral/
+aquila) shares models/llama.py converters; every other family routes
+through models/families.py, which maps each arch onto the single
+config-driven decoder in models/common.py.
 """
 
 from __future__ import annotations
@@ -11,17 +13,51 @@ from __future__ import annotations
 from ..quant.config import QuantConfig
 from . import llama
 
+# model_type -> converter module key ("llama" lineage vs "families")
 SUPPORTED_ARCHS = {
     "llama": "llama",
     "mistral": "llama",
-    "mixtral": "mixtral",
-    "qwen2": "qwen2",
+    "mixtral": "llama",
+    "qwen2": "llama",
+    "aquila": "llama",          # llama clone (MixQ auto.py registry)
+    "opt": "families",
+    "gpt2": "families",
+    "gptj": "families",
+    "gpt_neox": "families",
+    "falcon": "families",
+    "refinedweb": "families",       # early falcon model_type strings
+    "refinedwebmodel": "families",
+    "bloom": "families",
+    "mpt": "families",
+    "phi": "families",
+    "gemma": "families",
+    "baichuan": "families",
 }
 
 
 def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()):
     mt = hf_config.model_type.lower()
-    if mt not in SUPPORTED_ARCHS:
+    kind = SUPPORTED_ARCHS.get(mt)
+    if kind is None:
         raise ValueError(
             f"unsupported model_type {mt!r}; supported: {sorted(SUPPORTED_ARCHS)}")
-    return llama.config_from_hf(hf_config, quant)
+    if kind == "llama":
+        return llama.config_from_hf(hf_config, quant)
+    from . import families
+    return families.config_from_hf(hf_config, quant)
+
+
+def params_from_hf(cfg, hf_state, act_scales=None):
+    """Dispatch the HF-weights conversion by cfg.arch."""
+    if cfg.arch in ("llama", "mistral", "mixtral", "qwen2", "aquila"):
+        return llama.params_from_hf(cfg, hf_state, act_scales)
+    from . import families
+    return families.params_from_hf(cfg, hf_state, act_scales)
+
+
+def init_random_params(cfg, key, act_scales=None):
+    """Random-weight init honoring every config axis (tests/benches)."""
+    if cfg.arch in ("llama", "mistral", "mixtral", "qwen2", "aquila"):
+        return llama.init_random_params(cfg, key, act_scales)
+    from . import families
+    return families.init_random_params(cfg, key, act_scales)

@@ -27,6 +27,21 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def layernorm(x: jax.Array, weight: jax.Array, bias=None,
+              eps: float = 1e-5) -> jax.Array:
+    """Standard LayerNorm (mean-centered) in float32 — the norm of the
+    OPT/GPT/NeoX/Falcon/BLOOM/Phi families (reference layers/normalization
+    LayerNorm vs RmsNorm)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def rmsnorm_quant_split(
     x: jax.Array, weight: jax.Array, fp_ind: jax.Array, eps: float = 1e-6
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -124,6 +139,7 @@ def attention(
     v: jax.Array,            # (b, skv, hkv, d)
     mask: Optional[jax.Array] = None,   # broadcastable to (b, hq, sq, skv), True = keep
     scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,   # additive logits bias (ALiBi), same broadcast
 ) -> jax.Array:
     """Reference multi-head attention with GQA (hq % hkv == 0), f32 softmax."""
     b, sq, hq, d = q.shape
@@ -137,8 +153,52 @@ def attention(
         kf = jnp.repeat(kf, groups, axis=2)
         vf = jnp.repeat(vf, groups, axis=2)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
     return out.astype(q.dtype)
+
+
+def attention_int8kv(
+    q: jax.Array,            # (b, sq, hq, d)
+    k_q: jax.Array,          # (b, skv, hkv, d) int8
+    k_s: jax.Array,          # (b, skv, hkv) f32 per-(token, head) scales
+    v_q: jax.Array,          # (b, skv, hkv, d) int8
+    v_s: jax.Array,          # (b, skv, hkv) f32
+    mask: Optional[jax.Array] = None,   # broadcastable to (b, hq, sq, skv)
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention straight over the int8 KV cache — no dequantized copy.
+
+    The per-(token, head) scales factor out of both contractions:
+      logits = (q · k_int8) * k_scale      (scale applied to LOGITS)
+      out    = (probs * v_scale) · v_int8  (scale folded into PROBS)
+    so the (B, S, H, D)-sized dequantized cache the naive path materializes
+    every decode step (round-1 weak item 6) never exists; GQA is handled by
+    grouping q heads instead of repeating K/V. Also slightly MORE accurate
+    than dequantize->bf16->attend: products accumulate in f32 off the raw
+    int8 values.
+    """
+    b, sq, hq, d = q.shape
+    hkv = k_q.shape[2]
+    g = hq // hkv
+    scale = scale if scale is not None else d ** -0.5
+    q5 = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, g, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k_q.astype(jnp.float32))
+    logits = logits * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+    if bias is not None:
+        bias = jnp.broadcast_to(bias, (bias.shape[0], hq) + bias.shape[2:])
+        logits = logits + bias.reshape(
+            bias.shape[0], hkv, g, *bias.shape[2:]).astype(jnp.float32)
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, (mask.shape[0], hq) + mask.shape[2:])
+        mask = mask.reshape(mask.shape[0], hkv, g, *mask.shape[2:])
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = probs * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_q.astype(jnp.float32))
+    return out.reshape(b, sq, hq, d).astype(q.dtype)

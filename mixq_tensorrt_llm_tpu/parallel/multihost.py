@@ -29,17 +29,21 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     auto-detect; explicit values support DCN-connected CPU/GPU testing.
     Idempotent: safe to call when already initialized or single-host.
     """
-    if jax.process_count() > 1:
-        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        # single-host / already-initialized: proceed on local devices
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
-            raise
+        # Tolerate: already initialized, or single-host where the backend
+        # is already up (jax.distributed must run before any backend use —
+        # do NOT probe jax.process_count() here, that boots the backend).
+        msg = str(e).lower()
+        if "already" in msg:
+            return
+        if num_processes in (None, 1):
+            return
+        raise
 
 
 def default_mapping(tp_per_host: Optional[int] = None) -> Mapping:

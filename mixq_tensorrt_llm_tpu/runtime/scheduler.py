@@ -54,6 +54,7 @@ class Request:
     max_new_tokens: int
     eos_token_id: Optional[int] = None
     sampling: Optional[SamplingConfig] = None   # None = executor default
+    lora_id: int = 0                            # 0 = base model
     min_new_tokens: int = 0
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -119,6 +120,8 @@ class Executor:
             from ..quant import dynamic as qdyn
             self.ostate = qdyn.init_model_state(params, cfg)
 
+        self.has_lora = any(isinstance(m, dict) and "lora_A" in m
+                            for m in params["layers"].values())
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.prefilling: List[Request] = []   # admitted, pages held, not decoding
@@ -133,7 +136,8 @@ class Executor:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_chunk_fn(params, tokens, state, block_table, block_pos,
                              start, length, key, samp, history,
-                             suppress_token, suppress_flag, ostate):
+                             suppress_token, suppress_flag, ostate,
+                             lora_ids):
             """tokens (P, C): one chunk per lane starting at per-lane
             absolute position `start`; length (P,) = total valid tokens
             written after this chunk (0 disables a lane: all its page
@@ -144,7 +148,7 @@ class Executor:
             res = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table, length,
                 block_pos=block_pos, window=win_tokens, sink=sink_tokens,
-                outlier_state=ostate)
+                outlier_state=ostate, lora_ids=lora_ids)
             logits, state = res[0], res[1]
             new_ostate = res[2] if ostate else None
             last = jnp.take_along_axis(
@@ -157,12 +161,14 @@ class Executor:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_fn(params, tokens, state, block_table, block_pos, lens,
-                      key, samp, history, suppress_token, suppress_flag):
+                      key, samp, history, suppress_token, suppress_flag,
+                      lora_ids):
             pos = lens[:, None].astype(jnp.int32)
             logits, state = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table,
                 jnp.maximum(lens + 1, 1),
-                block_pos=block_pos, window=win_tokens, sink=sink_tokens)
+                block_pos=block_pos, window=win_tokens, sink=sink_tokens,
+                lora_ids=lora_ids)
             next_tok = sample_batched(logits[:, 0], key, samp,
                                       history=history,
                                       suppress_token=suppress_token,
@@ -177,10 +183,13 @@ class Executor:
                eos_token_id: Optional[int] = None,
                sampling: Optional[SamplingConfig] = None,
                min_new_tokens: int = 0,
+               lora_id: int = 0,
                on_token=None) -> int:
         """Queue a request. `sampling` overrides the executor default for
         this request only (per-request SamplingConfig, reference
-        bindings/executor.pyi Request.sampling_config). on_token(request,
+        bindings/executor.pyi Request.sampling_config). lora_id selects a
+        runtime adapter attached via convert.lora.attach_lora (0 = base;
+        reference per-request LoraConfig / lora_manager). on_token(request,
         token) is called for every generated token (streaming)."""
         if len(prompt) + max_new_tokens > self.max_seq_len:
             raise ValueError(
@@ -188,8 +197,12 @@ class Executor:
                 f"> max_seq_len ({self.max_seq_len})")
         rid = self._next_id
         self._next_id += 1
+        if lora_id and not self.has_lora:
+            raise ValueError("lora_id set but no adapters attached "
+                             "(convert.lora.attach_lora)")
         self.queue.append(Request(rid, list(prompt), max_new_tokens,
                                   eos_token_id, sampling=sampling,
+                                  lora_id=lora_id,
                                   min_new_tokens=min_new_tokens,
                                   on_token=on_token))
         return rid
@@ -267,6 +280,7 @@ class Executor:
         bpos = np.full((p, self.max_blocks_per_seq), PAD_POS, np.int32)
         sup_tok = np.full((p,), -1, np.int32)
         sup_flag = np.zeros((p,), np.int32)
+        lora = np.zeros((p,), np.int32)
         for i, req in enumerate(lanes):
             c0 = req.prefill_pos
             piece = req.prompt[c0: c0 + chunk]
@@ -277,6 +291,7 @@ class Executor:
                                            self.max_blocks_per_seq)[0]
             bpos[i] = self.bm.block_pos([req.req_id],
                                         self.max_blocks_per_seq)[0]
+            lora[i] = req.lora_id
             if req.eos_token_id is not None and req.min_new_tokens > 0:
                 sup_tok[i] = req.eos_token_id
                 sup_flag[i] = 1
@@ -289,7 +304,8 @@ class Executor:
             jnp.asarray(bpos),
             jnp.asarray(start), jnp.asarray(length), sub, samp,
             jnp.asarray(self._history(list(lanes) + [None] * (p - len(lanes)))),
-            jnp.asarray(sup_tok), jnp.asarray(sup_flag), self.ostate)
+            jnp.asarray(sup_tok), jnp.asarray(sup_flag), self.ostate,
+            jnp.asarray(lora))
         if self.ostate is not None:
             self.ostate = new_ostate
         tok_np = np.asarray(tok)
@@ -342,6 +358,7 @@ class Executor:
         sup_tok = np.full((self.max_batch,), -1, np.int32)
         sup_flag = np.zeros((self.max_batch,), np.int32)
         configs: List[Optional[SamplingConfig]] = [None] * self.max_batch
+        lora = np.zeros((self.max_batch,), np.int32)
         for i, req in active:
             # the incoming token is the last generated one; its absolute
             # position is seq_len - 1 (everything before it is in cache)
@@ -354,6 +371,7 @@ class Executor:
             bpos[i] = self.bm.block_pos([req.req_id],
                                         self.max_blocks_per_seq)[0]
             configs[i] = req.sampling or self.sampling
+            lora[i] = req.lora_id
             if (req.eos_token_id is not None
                     and len(req.generated) < req.min_new_tokens):
                 sup_tok[i] = req.eos_token_id
@@ -364,7 +382,8 @@ class Executor:
             self.params, jnp.asarray(tokens), self.state,
             jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
-            jnp.asarray(sup_tok), jnp.asarray(sup_flag))
+            jnp.asarray(sup_tok), jnp.asarray(sup_flag),
+            jnp.asarray(lora))
         next_np = np.asarray(next_tok)
         for i, req in active:
             self._append_token(req, int(next_np[i]))

@@ -141,3 +141,27 @@ class TestAttention:
         # position 0 attends only to itself
         want0 = np.asarray(vv)[:, 0]
         np.testing.assert_allclose(np.asarray(got)[:, 0], want0, rtol=1e-5, atol=1e-5)
+
+
+class TestAttentionInt8KV:
+    def test_matches_dequantized_attention(self):
+        import jax
+        from mixq_tensorrt_llm_tpu.quant import core as qcore
+        b, sq, skv, hq, hkv, d = 2, 3, 16, 8, 2, 16
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, sq, hq, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, skv, hkv, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, skv, hkv, d), jnp.float32)
+        kq, kscale = qcore.quantize_kv(k)
+        vq, vscale = qcore.quantize_kv(v)
+        mask = (jnp.arange(skv)[None, None, None, :]
+                <= (jnp.arange(sq) + skv - sq)[None, None, :, None])
+        bias = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, hq, 1, skv), jnp.float32) * 0.1
+        want = ref.attention(q, qcore.dequantize_kv(kq, kscale, jnp.float32),
+                             qcore.dequantize_kv(vq, vscale, jnp.float32),
+                             mask=mask, bias=bias)
+        got = ref.attention_int8kv(q, kq, kscale, vq, vscale, mask=mask,
+                                   bias=bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
