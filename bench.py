@@ -133,7 +133,7 @@ def measure_decode(cfg_kw, quant, bs, ctx, layers, iters):
     float(run_hi(params, tok0, state, lens0))
     log(f"  decode compile+first {time.time() - t0:.0f}s")
     t_lo = t_hi = 1e9
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         float(run_lo(params, tok0, state, lens0))
         t_lo = min(t_lo, time.perf_counter() - t0)
@@ -222,10 +222,23 @@ def main():
         d_layers, d_bs, d_ctx, d_iters = baseline_layers, 16, 1024, 16
         scale = cfg_kw["num_layers"] / d_layers
         try:
-            log(f"[bench] decode int8_mix+int8kv bs={d_bs} ctx={d_ctx} "
-                f"({d_layers} layers, scaled)")
-            t_d = measure_decode(cfg_kw, mix, d_bs, d_ctx, d_layers,
-                                 d_iters) * scale
+            # int8 fits full-depth (weights 6.6 GB + int8 pool ~5 GB), so
+            # measure it UNSCALED; fall back to depth-scaling on OOM
+            try:
+                log(f"[bench] decode int8_mix+int8kv bs={d_bs} ctx={d_ctx} "
+                    f"(full {cfg_kw['num_layers']} layers)")
+                t_d = measure_decode(cfg_kw, mix, d_bs, d_ctx,
+                                     cfg_kw["num_layers"], d_iters)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                import gc
+                gc.collect()
+                jax.clear_caches()
+                log(f"[bench] full-depth decode OOM; {d_layers} layers, "
+                    "scaled")
+                t_d = measure_decode(cfg_kw, mix, d_bs, d_ctx, d_layers,
+                                     d_iters) * scale
             log(f"[bench] decode int8_mix: {t_d * 1e3:.2f} ms/step -> "
                 f"{d_bs / t_d:,.0f} tok/s")
             log(f"[bench] decode bf16 bs={d_bs} ctx={d_ctx}")

@@ -248,6 +248,17 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         new_cache = {"k": ck, "v": cv}
 
     if full_prefill and alibi is None:
+        from ..parallel import context as sp_ctx
+        if sp_ctx.active_mesh() is not None:
+            # sequence-parallel scoring: exact causal attention with the
+            # sequence sharded over 'sp' — K/V chunks ride the ring
+            # (parallel/context.py; reference CP is topology-only)
+            assert not cfg.sliding_window, \
+                "ring attention does not implement sliding windows yet"
+            out = sp_ctx.ring_attention(q, new_k, new_v,
+                                        sp_ctx.active_mesh(),
+                                        scale=cfg.head_dim ** -0.5)
+            return out, new_cache
         # windowed models included: the flash path masks the window inside
         # the kernel (round-1 weak item 5 — Mistral prefill used to fall
         # back to the S x S masked einsum below). ALiBi models stay on the
