@@ -119,6 +119,23 @@ class LLM:
                                      eos_token_id=eos_token_id,
                                      num_beams=num_beams, seed=seed)
 
+    def generate_speculative(self, draft: "LLM",
+                             prompts: Sequence[Sequence[int]],
+                             max_new_tokens: int = 64, gamma: int = 4,
+                             temperature: float = 1.0,
+                             eos_token_id: Optional[int] = None,
+                             seed: int = 0):
+        """Batched stochastic speculative decoding with `draft` proposing
+        gamma tokens per round (reference speculative/medusa niche;
+        temperature <= 0 = greedy, provably equal to target-only greedy).
+        Returns (token lists incl. prompts, SpecStats)."""
+        from .runtime.speculative import speculative_generate_batched
+        return speculative_generate_batched(
+            self.params, self.cfg, draft.params, draft.cfg,
+            [list(p) for p in prompts], max_new_tokens, gamma=gamma,
+            temperature=temperature, eos_token_id=eos_token_id,
+            max_seq_len=self.max_seq_len, seed=seed)
+
     def make_executor(self, max_batch: int = 8, block_size: int = 64,
                       prefill_chunk: int = 256,
                       sampling: SamplingConfig = SamplingConfig(),

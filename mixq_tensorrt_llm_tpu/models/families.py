@@ -274,6 +274,60 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             embed_scale=float(hf_config.hidden_size) ** 0.5,
             tie_word_embeddings=True, quant=quant)
 
+    if mt == "gpt_bigcode":     # santacoder / starcoder1 (MQA gpt2)
+        inner = g("n_inner") or 4 * hf_config.n_embd
+        return ModelConfig(
+            arch="gpt_bigcode", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd, intermediate_size=inner,
+            num_layers=hf_config.n_layer, num_heads=hf_config.n_head,
+            num_kv_heads=1 if g("multi_query", True) else hf_config.n_head,
+            head_dim=hf_config.n_embd // hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            rms_norm_eps=g("layer_norm_epsilon", 1e-5),
+            norm_type="layernorm", pos_embedding="learned",
+            mlp_type="dense",
+            hidden_act=g("activation_function", "gelu_pytorch_tanh"),
+            qkv_bias=True, attn_out_bias=True, mlp_bias=True,
+            tie_word_embeddings=True, quant=quant)
+
+    if mt == "starcoder2":
+        return ModelConfig(
+            arch="starcoder2", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=g("norm_epsilon", 1e-5), norm_type="layernorm",
+            mlp_type="dense", hidden_act=g("hidden_act",
+                                           "gelu_pytorch_tanh"),
+            qkv_bias=bool(g("use_bias", True)),
+            attn_out_bias=bool(g("use_bias", True)),
+            mlp_bias=bool(g("use_bias", True)),
+            tie_word_embeddings=g("tie_word_embeddings", True), quant=quant)
+
+    if mt == "stablelm":
+        head_dim = hf_config.hidden_size // hf_config.num_attention_heads
+        return ModelConfig(
+            arch="stablelm", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=head_dim,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=g("layer_norm_eps", 1e-5), norm_type="layernorm",
+            rotary_dim=int(head_dim * g("partial_rotary_factor", 0.25)),
+            hidden_act=g("hidden_act", "silu"),
+            qkv_bias=bool(g("use_qkv_bias", False)), quant=quant)
+
     if mt == "baichuan":
         # 7B ships RoPE; 13B ships ALiBi (known released geometries; the
         # checkpoint config carries no explicit flag)
@@ -429,6 +483,42 @@ def _float_layer(cfg: ModelConfig, hf: Mapping, i: int) -> Dict:
         for k in ("input_norm", "post_norm"):
             fl[k] = {"w": fl[k]["w"] + 1.0}
         return fl
+    if a == "gpt_bigcode":
+        p = f"transformer.h.{i}."
+        return {
+            # nn.Linear (unlike gpt2's Conv1D): transpose; contiguous
+            # [q, k, v] rows for both MQA and MHA variants
+            "qkv_proj": _lin(hf, p + "attn.c_attn"),
+            "o_proj": _lin(hf, p + "attn.c_proj"),
+            "gate_up_proj": _lin(hf, p + "mlp.c_fc"),
+            "down_proj": _lin(hf, p + "mlp.c_proj"),
+            "input_norm": _norm(hf, p + "ln_1"),
+            "post_norm": _norm(hf, p + "ln_2"),
+        }
+    if a == "starcoder2":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _lin(hf, p + "mlp.c_fc"),
+            "down_proj": _lin(hf, p + "mlp.c_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+        }
+    if a == "stablelm":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+        }
     if a == "baichuan":
         p = f"model.layers.{i}."
         w = _arr(hf[p + "self_attn.W_pack.weight"])
@@ -464,6 +554,11 @@ _TOPLEVEL = {
             "lm_head"),
     "gemma": ("model.embed_tokens", None, None, "model.norm", None),
     "baichuan": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "gpt_bigcode": ("transformer.wte", "transformer.wpe", None,
+                    "transformer.ln_f", None),
+    "starcoder2": ("model.embed_tokens", None, None, "model.norm",
+                   "lm_head"),
+    "stablelm": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
 }
 
 

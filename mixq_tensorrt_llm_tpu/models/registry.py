@@ -32,6 +32,9 @@ SUPPORTED_ARCHS = {
     "phi": "families",
     "gemma": "families",
     "baichuan": "families",
+    "gpt_bigcode": "families",
+    "starcoder2": "families",
+    "stablelm": "families",
 }
 
 

@@ -97,6 +97,31 @@ def _phi():
         attn_implementation="eager")
 
 
+def _gpt_bigcode():
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+    return GPTBigCodeForCausalLM, GPTBigCodeConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=64,
+        multi_query=True, attn_implementation="eager")
+
+
+def _starcoder2():
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+    return Starcoder2ForCausalLM, Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_bias=True,
+        attn_implementation="eager")
+
+
+def _stablelm():
+    from transformers import StableLmConfig, StableLmForCausalLM
+    return StableLmForCausalLM, StableLmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, partial_rotary_factor=0.25,
+        attn_implementation="eager")
+
+
 def _gemma():
     from transformers import GemmaConfig, GemmaForCausalLM
     return GemmaForCausalLM, GemmaConfig(
@@ -110,6 +135,8 @@ FAMILIES = {
     "opt": _opt, "gpt2": _gpt2, "gptj": _gptj, "gpt_neox": _gpt_neox,
     "falcon_mqa": _falcon_mqa, "falcon_gqa": _falcon_gqa, "bloom": _bloom,
     "mpt": _mpt, "phi": _phi, "gemma": _gemma,
+    "gpt_bigcode": _gpt_bigcode, "starcoder2": _starcoder2,
+    "stablelm": _stablelm,
 }
 
 
