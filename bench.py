@@ -92,7 +92,8 @@ def timeit(fn, params, tokens, pos, cache, lens, iters):
     for _ in range(iters):
         acc, cache = fn(params, tokens, pos, cache, lens, acc)
     float(acc)  # one sync for the whole chain
-    total = time.perf_counter() - t0 - rtt
+    # clamp: in tiny/CI mode the whole chain is shorter than the RTT noise
+    total = max(time.perf_counter() - t0 - rtt, 1e-6)
     return total / iters
 
 
@@ -113,8 +114,12 @@ def measure_decode(cfg_kw, quant, bs, ctx, layers, iters):
     lens0 = jnp.full((bs,), ctx, jnp.int32)
     tok0 = jnp.ones((bs, 1), jnp.int32)
 
+    import functools
+
     def build_run(n):
-        @jax.jit
+        # donate the pools: without it the fori_loop carry forces XLA to
+        # copy both KV pools (2 x 2.5 GB at full depth -> compile-time OOM)
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, tokens, state, lens):
             def body(i, carry):
                 tokens, state, lens, acc = carry
@@ -123,22 +128,27 @@ def measure_decode(cfg_kw, quant, bs, ctx, layers, iters):
                     params, cfg, tokens, pos, state, table, lens + 1)
                 nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
                 return nxt[:, None], state, lens + 1, acc + logits[0, 0, 0]
-            return jax.lax.fori_loop(
-                0, n, body, (tokens, state, lens, jnp.float32(0)))[3]
+            out = jax.lax.fori_loop(
+                0, n, body, (tokens, state, lens, jnp.float32(0)))
+            return out[3], out[1]
         return run
 
     run_lo, run_hi = build_run(iters), build_run(4 * iters)
     t0 = time.time()
-    float(run_lo(params, tok0, state, lens0))
-    float(run_hi(params, tok0, state, lens0))
+    acc, state = run_lo(params, tok0, state, lens0)
+    float(acc)
+    acc, state = run_hi(params, tok0, state, lens0)
+    float(acc)
     log(f"  decode compile+first {time.time() - t0:.0f}s")
     t_lo = t_hi = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run_lo(params, tok0, state, lens0))
+        acc, state = run_lo(params, tok0, state, lens0)
+        float(acc)
         t_lo = min(t_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(run_hi(params, tok0, state, lens0))
+        acc, state = run_hi(params, tok0, state, lens0)
+        float(acc)
         t_hi = min(t_hi, time.perf_counter() - t0)
     return (t_hi - t_lo) / (3 * iters)
 
@@ -230,7 +240,8 @@ def main():
                 t_d = measure_decode(cfg_kw, mix, d_bs, d_ctx,
                                      cfg_kw["num_layers"], d_iters)
             except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e):
+                if "RESOURCE_EXHAUSTED" not in str(e) and \
+                        "Ran out of memory" not in str(e):
                     raise
                 import gc
                 gc.collect()
@@ -249,6 +260,20 @@ def main():
             extra = {"decode_tok_s": round(d_bs / t_d, 1),
                      "decode_vs_bf16": round(t_db / t_d, 3),
                      "decode_bs": d_bs, "decode_ctx": d_ctx}
+            # serving row: int8 halves weights AND KV so bs=64 fits where
+            # bf16 cannot run at all (capacity -> throughput; docs/PERF.md)
+            try:
+                log(f"[bench] decode int8_mix+int8kv bs=64 ctx={d_ctx} "
+                    f"({d_layers} layers, scaled)")
+                t64 = measure_decode(cfg_kw, mix, 64, d_ctx, d_layers,
+                                     d_iters) * scale
+                log(f"[bench] decode int8_mix bs=64: {t64 * 1e3:.2f} "
+                    f"ms/step -> {64 / t64:,.0f} tok/s")
+                extra["decode_bs64_tok_s"] = round(64 / t64, 1)
+                extra["decode_bs64_vs_bf16_best"] = round(
+                    (64 / t64) / (d_bs / t_db), 3)
+            except Exception as e:
+                log(f"[bench] bs=64 decode failed: {e!r}")
         except Exception as e:   # decode extras must not sink the headline
             log(f"[bench] decode measurement failed: {e!r}")
 

@@ -71,6 +71,9 @@ def _add_generate(sub):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam search over the paged KV pool "
+                        "(reference run.py --num_beams)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--run_profiling", action="store_true",
                    help="print prefill/decode timing breakdown "
@@ -90,6 +93,7 @@ def _cmd_generate(args):
     out = llm.generate_tokens(token_lists,
                               max_new_tokens=args.max_new_tokens,
                               sampling=sampling, seed=args.seed,
+                              num_beams=args.num_beams,
                               eos_token_id=llm.tokenizer.eos_token_id)
     for prompt, seq, tl in zip(args.prompt, out.sequences, token_lists):
         print(f"--- prompt: {prompt!r}")

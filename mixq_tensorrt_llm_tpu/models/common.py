@@ -28,8 +28,10 @@ from ..ops import dispatch
 class ModelConfig:
     """Static architecture description (hashable -> usable as a jit static arg).
 
-    Mirrors the fields of the reference PretrainedConfig that matter for
-    Llama/Qwen2 (tensorrt_llm/models/modeling_utils.py PretrainedConfig).
+    Mirrors the reference PretrainedConfig surface
+    (tensorrt_llm/models/modeling_utils.py) for the whole zoo: the llama
+    lineage plus the structural axes of OPT/GPT-2/GPT-J/NeoX/Falcon/BLOOM/
+    MPT/Phi/Gemma/StarCoder/StableLM/Baichuan (models/registry.py).
     """
 
     arch: str = "llama"                  # registry key (models/registry.py)

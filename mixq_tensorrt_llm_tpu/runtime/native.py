@@ -109,6 +109,7 @@ class NativeBlockManager:
         self._lib = load_library()
         self.num_blocks = num_blocks
         self.block_size = block_size
+        self.window_blocks = window_blocks
         self._h = self._lib.mixq_bm_create(
             num_blocks, block_size, sink_blocks,
             -1 if window_blocks is None else window_blocks)

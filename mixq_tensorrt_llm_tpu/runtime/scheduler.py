@@ -175,8 +175,38 @@ class Executor:
                                       suppress_flag=suppress_flag)
             return next_tok, state
 
+        def make_burst_fn(k: int):
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def burst_fn(params, tokens, state, block_table, block_pos,
+                         lens, key, samp, history, sup_tok, min_left,
+                         lora_ids):
+                def body(carry, _):
+                    tokens, state, lens, key, history, min_left = carry
+                    pos = lens[:, None].astype(jnp.int32)
+                    logits, state = mcommon.forward_paged(
+                        params, cfg_s, tokens, pos, state, block_table,
+                        jnp.maximum(lens + 1, 1), block_pos=block_pos,
+                        window=win_tokens, sink=sink_tokens,
+                        lora_ids=lora_ids)
+                    key, sub = jax.random.split(key)
+                    tok = sample_batched(
+                        logits[:, 0], sub, samp, history=history,
+                        suppress_token=sup_tok,
+                        suppress_flag=(min_left > 0).astype(jnp.int32))
+                    history = jnp.concatenate(
+                        [history[:, 1:], tok[:, None]], axis=1)
+                    return (tok[:, None], state, lens + 1, key, history,
+                            jnp.maximum(min_left - 1, 0)), tok
+                (_, state, _, _, _, _), toks = jax.lax.scan(
+                    body, (tokens, state, lens, key, history, min_left),
+                    None, length=k)
+                return jnp.moveaxis(toks, 0, 1), state   # (B, k)
+            return burst_fn
+
         self._prefill = prefill_chunk_fn
         self._decode = decode_fn
+        self._make_burst = make_burst_fn
+        self._burst_fns = {}
 
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
@@ -263,7 +293,9 @@ class Executor:
             if req is None:
                 continue
             tail = req.sequence[-HISTORY_W:]
-            out[i, :len(tail)] = tail
+            # right-aligned: the burst decode shifts left and appends at
+            # the right in-graph; alignment keeps both paths identical
+            out[i, HISTORY_W - len(tail):] = tail
         return out
 
     def _step_prefill(self) -> None:
@@ -389,9 +421,76 @@ class Executor:
             self._append_token(req, int(next_np[i]))
         return len(active) + produced_prefill
 
-    def run(self) -> Dict[int, Request]:
-        """Drive until all submitted work is finished."""
+    def step_burst(self, k: int) -> int:
+        """Run k decode steps in ONE compiled call (host sync amortized —
+        the XLA analogue of the reference's CUDA-graph'd step loop, and the
+        serving-throughput lever on high-RTT links). Caller guarantees no
+        queued/prefilling work. Tokens a lane produces after its own
+        eos/max_new are discarded host-side; their page writes land in
+        pre-extended (soon freed) or trash pages. Falls back to 0 (caller
+        should single-step) when pages for k tokens can't be reserved or a
+        recycling window is active (mid-burst block recycling would mask
+        still-visible tokens)."""
+        active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not active or self.bm.window_blocks:
+            return 0
+        if not self.bm.can_allocate(k * len(active)):
+            return 0
+
+        tokens = np.zeros((self.max_batch, 1), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        table = np.zeros((self.max_batch, self.max_blocks_per_seq), np.int32)
+        bpos = np.full((self.max_batch, self.max_blocks_per_seq), PAD_POS,
+                       np.int32)
+        sup_tok = np.full((self.max_batch,), -1, np.int32)
+        min_left = np.zeros((self.max_batch,), np.int32)
+        configs: List[Optional[SamplingConfig]] = [None] * self.max_batch
+        lora = np.zeros((self.max_batch,), np.int32)
+        for i, req in active:
+            new_pos = len(req.prompt) + len(req.generated) - 1
+            self.bm.extend(req.req_id, k)    # pages for the whole burst
+            tokens[i, 0] = req.generated[-1]
+            lens[i] = new_pos
+            table[i] = self.bm.block_table([req.req_id],
+                                           self.max_blocks_per_seq)[0]
+            bpos[i] = self.bm.block_pos([req.req_id],
+                                        self.max_blocks_per_seq)[0]
+            configs[i] = req.sampling or self.sampling
+            lora[i] = req.lora_id
+            if req.eos_token_id is not None:
+                sup_tok[i] = req.eos_token_id
+                min_left[i] = max(0, req.min_new_tokens - len(req.generated))
+
+        if k not in self._burst_fns:
+            self._burst_fns[k] = self._make_burst(k)
+        self.key, sub = jax.random.split(self.key)
+        toks, self.state = self._burst_fns[k](
+            self.params, jnp.asarray(tokens), self.state,
+            jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
+            batch_params(configs), jnp.asarray(self._history(self.slots)),
+            jnp.asarray(sup_tok), jnp.asarray(min_left), jnp.asarray(lora))
+        toks_np = np.asarray(toks)
+        produced = 0
+        for i, req in active:
+            for j in range(k):
+                if req.done:
+                    break
+                self._append_token(req, int(toks_np[i, j]))
+                produced += 1
+        return produced
+
+    def run(self, burst: int = 1) -> Dict[int, Request]:
+        """Drive until all submitted work is finished.
+
+        burst > 1 runs decode in k-step compiled bursts whenever nothing
+        is queued or prefilling (identical greedy outputs to burst=1; the
+        stochastic sample stream differs by key schedule only)."""
         while self.has_work:
+            if (burst > 1 and not self.queue and not self.prefilling
+                    and self.num_active > 0):
+                produced = self.step_burst(burst)
+                if produced:
+                    continue
             produced = self.step()
             if produced == 0 and self.queue and not self.prefilling:
                 raise RuntimeError(

@@ -159,3 +159,53 @@ class TestCancel:
         assert not ex.cancel(a)      # already finished
         # pool fully released
         assert ex.bm.num_free == ex.bm.num_blocks - 1
+
+
+class TestBurstDecode:
+    def _mk(self, cfg, params, **kw):
+        from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+        return Executor(params, cfg, max_batch=4, max_seq_len=64,
+                        block_size=8, prefill_chunk=8, seed=0, **kw)
+
+    def test_burst_matches_single_step_greedy(self, quantized_model):
+        params, cfg = quantized_model
+        prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5]]
+
+        ex1 = self._mk(cfg, params)
+        r1 = [ex1.submit(p, max_new_tokens=10) for p in prompts]
+        out1 = ex1.run()
+
+        ex2 = self._mk(cfg, params)
+        r2 = [ex2.submit(p, max_new_tokens=10) for p in prompts]
+        out2 = ex2.run(burst=4)
+
+        for a, b in zip(r1, r2):
+            assert out1[a].generated == out2[b].generated, \
+                (out1[a].generated, out2[b].generated)
+
+    def test_burst_respects_eos_and_max(self, quantized_model):
+        params, cfg = quantized_model
+        ex = self._mk(cfg, params)
+        rid = ex.submit([1, 2, 3], max_new_tokens=9)
+        base = ex.run()[rid].generated
+        eos = base[4]
+
+        ex2 = self._mk(cfg, params)
+        rid2 = ex2.submit([1, 2, 3], max_new_tokens=9, eos_token_id=eos)
+        got = ex2.run(burst=4)[rid2].generated
+        assert got[-1] == eos and eos not in got[:-1]
+        assert len(got) <= 9
+
+    def test_burst_with_min_new_tokens(self, quantized_model):
+        params, cfg = quantized_model
+        ex = self._mk(cfg, params)
+        rid = ex.submit([1, 2, 3], max_new_tokens=9)
+        base = ex.run()[rid].generated
+        eos = base[1]   # would stop at step 2 without the floor
+
+        ex2 = self._mk(cfg, params)
+        rid2 = ex2.submit([1, 2, 3], max_new_tokens=9, eos_token_id=eos,
+                          min_new_tokens=5)
+        got = ex2.run(burst=3)[rid2].generated
+        assert len(got) >= 5
+        assert eos not in got[:4]

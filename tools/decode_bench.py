@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--bf16", action="store_true",
                     help="unquantized baseline instead of int8_mix")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4_mix weights (packed in-kernel unpack)")
     args = ap.parse_args()
 
     from mixq_tensorrt_llm_tpu.models import (ModelConfig, llama as mllama,
@@ -39,9 +41,14 @@ def main():
                                              KVCacheQuantAlgo)
     from mixq_tensorrt_llm_tpu.runtime.kv_cache import init_paged_kv
 
-    quant = QuantConfig() if args.bf16 else QuantConfig(
-        algo=QuantAlgo.INT8_MIX, num_outliers=128,
-        kv_cache=KVCacheQuantAlgo.INT8)
+    if args.bf16:
+        quant = QuantConfig()
+    elif args.int4:
+        quant = QuantConfig(algo=QuantAlgo.INT4_MIX, num_outliers=128,
+                            kv_cache=KVCacheQuantAlgo.INT8)
+    else:
+        quant = QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=128,
+                            kv_cache=KVCacheQuantAlgo.INT8)
     cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
                       intermediate_size=11008, num_layers=args.layers,
                       num_heads=32, num_kv_heads=32, head_dim=128,
@@ -106,7 +113,8 @@ def main():
     scale = 32 / args.layers
     step_ms = best * 1e3 * scale
     tok_s = args.bs / (best * scale)
-    mode = "bf16" if args.bf16 else "int8_mix+int8kv"
+    mode = ("bf16" if args.bf16 else
+            "int4_mix+int8kv" if args.int4 else "int8_mix+int8kv")
     print(f"decode {mode} bs={args.bs} ctx={args.ctx} "
           f"({args.layers} layers scaled x{scale:.0f}): "
           f"{step_ms:.2f} ms/step -> {tok_s:,.0f} tok/s")
