@@ -1,0 +1,80 @@
+"""End-to-end serving throughput: the real Executor on the real chip.
+
+Full-depth 7B-geometry int8_mix+int8KV, N concurrent requests through the
+continuous-batching executor (chunked prefill + burst decode). Reports
+wall-clock generated tok/s and TTFT stats — scheduler, sampler, block
+manager, and host sync included (the number bench.py's in-jit decode
+deliberately excludes). On the axon relay each host round-trip costs
+~45 ms; run(burst=k) amortizes it over k decode steps, which is also the
+right behavior on real deployments (fewer device syncs).
+
+Usage: python tools/serving_bench.py [--requests 16] [--prompt 512]
+       [--gen 128] [--burst 16] [--layers 32]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt", type=int, default=512)
+    ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--burst", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--max_batch", type=int, default=16)
+    args = ap.parse_args()
+
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
+                                             KVCacheQuantAlgo)
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+
+    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=11008, num_layers=args.layers,
+                      num_heads=32, num_kv_heads=32, head_dim=128,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=128,
+                                        kv_cache=KVCacheQuantAlgo.INT8))
+    t0 = time.time()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    print(f"params staged in {time.time()-t0:.0f}s", file=sys.stderr,
+          flush=True)
+
+    max_seq = args.prompt + args.gen + args.burst + 8
+    ex = Executor(params, cfg, max_batch=args.max_batch,
+                  max_seq_len=max_seq, block_size=128, prefill_chunk=256,
+                  prefill_lanes=4, seed=0)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    rids = [ex.submit(rng.integers(1, cfg.vocab_size,
+                                   args.prompt).tolist(),
+                      max_new_tokens=args.gen)
+            for _ in range(args.requests)]
+    done = ex.run(burst=args.burst)
+    wall = time.time() - t0
+
+    gen_total = sum(len(done[r].generated) for r in rids)
+    ttfts = sorted(done[r].first_token_time - done[r].submit_time
+                   for r in rids)
+    print(json.dumps({
+        "requests": args.requests, "prompt": args.prompt, "gen": args.gen,
+        "burst": args.burst, "layers": args.layers,
+        "wall_s": round(wall, 1),
+        "gen_tok_s": round(gen_total / wall, 1),
+        "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
+        "ttft_p99_s": round(ttfts[-1], 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
