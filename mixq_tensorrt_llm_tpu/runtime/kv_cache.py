@@ -284,6 +284,18 @@ def paged_write(layer_caches, block_table: jax.Array,
         # XLA scatter ~1.6x on TPU when they were the default)
         return _paged_write_decode(layer_caches, blk[:, 0], off[:, 0],
                                    new_k[:, 0], new_v[:, 0], quantized)
+    from ..ops._util import _on_tpu
+    import os
+    if (_on_tpu() and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0"
+            and new_k.shape[1] % bs == 0):
+        # chunked prefill: aliased Pallas RMW of the pages each BS-token
+        # slab lands in. The XLA scatter below, sitting next to the Pallas
+        # prefill-attention read of the same scan-carried pool, made XLA
+        # copy-protect the whole pool every layer — 748 ms per 4-lane
+        # 256-token chunk at 7B (tools/probe_serving.py). Requires the
+        # executor's page-aligned contiguous chunks (see paged_write_chunk).
+        from ..ops.paged_write import paged_write_chunk
+        return paged_write_chunk(layer_caches, blk, off, new_k, new_v)
     # kv pages are (NB, Hkv, BS, D) and scale pages (NB, Hkv, BS): the
     # head axis precedes the in-block offset, so updates index [blk, :, off]
     if quantized:

@@ -90,6 +90,9 @@ class Executor:
             logger.info("bumping block_size %d -> 128 for the int8-KV "
                         "decode kernel", block_size)
             block_size = 128
+        if _on_tpu() and prefill_chunk % block_size != 0:
+            # the chunk-write kernel needs page-aligned chunks
+            prefill_chunk = -(-prefill_chunk // block_size) * block_size
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

@@ -55,6 +55,14 @@ def main():
                   max_seq_len=max_seq, block_size=128, prefill_chunk=256,
                   prefill_lanes=4, seed=0)
     rng = np.random.default_rng(0)
+
+    # warmup: compile/load all three programs (prefill chunk, decode step,
+    # burst) before the timed window — a production server serves warm
+    ex.submit(rng.integers(1, cfg.vocab_size, args.prompt).tolist(),
+              max_new_tokens=args.burst + 2)
+    ex.run(burst=args.burst)
+    print("warm", file=sys.stderr, flush=True)
+
     t0 = time.time()
     rids = [ex.submit(rng.integers(1, cfg.vocab_size,
                                    args.prompt).tolist(),
