@@ -69,6 +69,16 @@ class ModelConfig:
     lm_head_bias: bool = False           # GPT-J / Phi
     embed_scale: float = 1.0             # Gemma: sqrt(hidden)
     embed_norm: bool = False             # BLOOM word_embeddings_layernorm
+    # --- Gemma-2 / Qwen3 axes (HF Gemma2Config / Qwen3Config)
+    attn_scale: float = 0.0              # 0 = 1/sqrt(head_dim); Gemma-2:
+    #                                      1/sqrt(query_pre_attn_scalar)
+    attn_logit_softcap: float = 0.0      # tanh cap on attention logits
+    final_logit_softcap: float = 0.0     # tanh cap on lm_head logits
+    post_block_norms: bool = False       # Gemma-2 post-attn/post-mlp norms
+    qk_norm: bool = False                # Qwen3 per-head q/k RMSNorm
+    sliding_window_pattern: int = 1      # every p-th layer is GLOBAL, the
+    #                                      rest windowed (Gemma-2: 2); 1 =
+    #                                      cfg.sliding_window on all layers
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
 
@@ -83,6 +93,18 @@ class ModelConfig:
     @property
     def qkv_out(self) -> int:
         return self.q_size + 2 * self.kv_size
+
+    @property
+    def attention_scale(self) -> float:
+        return self.attn_scale or self.head_dim ** -0.5
+
+    def layer_window(self, layer: int) -> Optional[int]:
+        """Static sliding window (tokens) for one layer; None = cfg default
+        (used when no alternation pattern is configured)."""
+        p = self.sliding_window_pattern
+        if p <= 1 or not self.sliding_window:
+            return None
+        return self.sliding_window if (layer + 1) % p else 0
 
     def module_algo(self, name: str) -> QuantAlgo:
         return self.quant.module_algo(name)
@@ -220,7 +242,7 @@ def block_norm(cfg: ModelConfig, x: jax.Array, p: Dict) -> jax.Array:
 
 def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
                           write_pos, kv_valid_len, full_prefill: bool = False,
-                          alibi=None):
+                          alibi=None, layer_window: Optional[int] = None):
     """Write new_k/new_v into this layer's cache at write_pos and attend.
 
     q/new_k/new_v: (B, S, H, D); layer_cache: dict with k/v (+scales) of
@@ -228,9 +250,14 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     kv_valid_len: (B,) number of valid kv entries AFTER this write.
     full_prefill=True asserts the cache holds nothing before this write
     (positions 0..S), letting attention run the flash kernel over the fresh
-    k/v instead of the cache. Returns (attn_out, updated layer_cache).
+    k/v instead of the cache. layer_window overrides cfg.sliding_window for
+    alternating-window archs (Gemma-2; 0 = this layer is global).
+    Returns (attn_out, updated layer_cache).
     """
     b, s = q.shape[0], q.shape[1]
+    window = cfg.sliding_window if layer_window is None else layer_window
+    scale = cfg.attention_scale
+    softcap = cfg.attn_logit_softcap
     batch_idx = jnp.arange(b)[:, None]  # (B, 1) broadcasts with (B, S)
 
     ck, cv = layer_cache["k"], layer_cache["v"]
@@ -249,25 +276,26 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
 
-    if full_prefill and alibi is None:
+    if full_prefill and alibi is None and not softcap:
         from ..parallel import context as sp_ctx
         if sp_ctx.active_mesh() is not None:
             # sequence-parallel scoring: exact causal attention with the
             # sequence sharded over 'sp' — K/V chunks ride the ring
             # (parallel/context.py; reference CP is topology-only)
-            assert not cfg.sliding_window, \
+            assert not window, \
                 "ring attention does not implement sliding windows yet"
             out = sp_ctx.ring_attention(q, new_k, new_v,
                                         sp_ctx.active_mesh(),
-                                        scale=cfg.head_dim ** -0.5)
+                                        scale=scale)
             return out, new_cache
         # windowed models included: the flash path masks the window inside
         # the kernel (round-1 weak item 5 — Mistral prefill used to fall
-        # back to the S x S masked einsum below). ALiBi models stay on the
-        # masked path: the flash kernels take no additive bias.
+        # back to the S x S masked einsum below). ALiBi and softcapped
+        # models stay on the masked path: the flash kernels take no
+        # additive bias / tanh epilogue.
         out = ops_attn.causal_self_attention(q, new_k, new_v,
-                                             scale=cfg.head_dim ** -0.5,
-                                             window=cfg.sliding_window or 0)
+                                             scale=scale,
+                                             window=window or 0)
         return out, new_cache
 
     smax = ck.shape[1]
@@ -275,10 +303,10 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     # mask (B, 1, S, Smax): causal in absolute positions, limited to valid len
     mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
            (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
-    if cfg.sliding_window:
+    if window:
         # Mistral-style window: attend only the last W positions
         mask &= (kv_idx[None, None, None, :] >
-                 write_pos[:, None, :, None] - cfg.sliding_window)
+                 write_pos[:, None, :, None] - window)
     bias = None
     if alibi is not None:
         # slope_h * kv_pos is softmax-equivalent to slope_h * (kv - q)
@@ -289,18 +317,18 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         # factor onto logits/probs, so no dequantized (B, Smax, H, D) copy
         # is ever materialized (round-1 weak item 6)
         out = ops_ref.attention_int8kv(q, ck, cks, cv, cvs, mask=mask,
-                                       scale=cfg.head_dim ** -0.5,
-                                       bias=bias)
+                                       scale=scale, bias=bias,
+                                       softcap=softcap)
     else:
         out = ops_ref.attention(q, k_all, v_all, mask=mask,
-                                scale=cfg.head_dim ** -0.5, bias=bias)
+                                scale=scale, bias=bias, softcap=softcap)
     return out, new_cache
 
 
 def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                      block_table, write_pos, kv_valid_len,
                      block_pos=None, window: int = 0, sink: int = 0,
-                     alibi=None):
+                     alibi=None, layer_window: Optional[int] = None):
     """Paged-cache attention: scatter new kv into the block pool, attend
     over the pages in place. Shapes as in _attention_with_cache but the
     cache is a (NB, Hkv, BS, H, D) pool addressed via block_table (B, MB)
@@ -314,8 +342,14 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     """
     from ..runtime import kv_cache as pkv
 
-    if window == 0 and cfg.sliding_window:
-        window = cfg.sliding_window
+    if window == 0:
+        # runtime StreamingLLM window (if any) takes precedence; otherwise
+        # the layer override (alternating-window archs), then the model
+        # default
+        window = (cfg.sliding_window if layer_window is None
+                  else layer_window)
+    scale = cfg.attention_scale
+    softcap = cfg.attn_logit_softcap
 
     quantized = "k_scale" in layer_caches
     valid = write_pos < kv_valid_len[:, None]
@@ -323,7 +357,7 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                                  new_k, new_v, quantized, valid=valid,
                                  block_pos=block_pos)
 
-    if _use_paged_kernel() and alibi is None:
+    if _use_paged_kernel() and alibi is None and not softcap:
         if q.shape[1] == 1:
             # decode: flash-decoding Pallas kernel reads pages in place
             # (int8 dequant in VMEM); the jnp gather path below would
@@ -332,7 +366,7 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
             out = paged_decode_attention(
                 q[:, 0], new_caches["k"], new_caches["v"],
                 new_caches.get("k_scale"), new_caches.get("v_scale"),
-                block_table, kv_valid_len, scale=cfg.head_dim ** -0.5,
+                block_table, kv_valid_len, scale=scale,
                 block_pos=block_pos, window=window, sink=sink)
             return out[:, None].astype(q.dtype), new_caches
         if q.shape[1] % 128 == 0:
@@ -344,7 +378,7 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                 q, new_caches["k"], new_caches["v"],
                 new_caches.get("k_scale"), new_caches.get("v_scale"),
                 block_table, write_pos[:, 0], kv_valid_len,
-                scale=cfg.head_dim ** -0.5,
+                scale=scale,
                 block_pos=block_pos, window=window, sink=sink)
             return out.astype(q.dtype), new_caches
 
@@ -388,7 +422,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   sin, cos, layer_cache, write_pos, kv_valid_len,
                   collect_stats: bool = False, block_table=None,
                   block_pos=None, window: int = 0, sink: int = 0,
-                  full_prefill: bool = False, alibi=None, lora_ids=None):
+                  full_prefill: bool = False, alibi=None, lora_ids=None,
+                  layer_window: Optional[int] = None):
     """One decoder block, config-driven across the zoo. x: (B, S, hidden).
 
     lora_ids (B,) int32 selects a stacked runtime-LoRA adapter per lane
@@ -502,6 +537,10 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        # Qwen3 per-head q/k RMSNorm, applied before RoPE (HF Qwen3Attention)
+        q = ops_ref.rmsnorm(q, layer_params["q_norm"]["w"], cfg.rms_norm_eps)
+        k = ops_ref.rmsnorm(k, layer_params["k_norm"]["w"], cfg.rms_norm_eps)
     if sin is not None:
         q = _apply_positional(cfg, q, sin, cos)
         k = _apply_positional(cfg, k, sin, cos)
@@ -511,12 +550,14 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                                            kv_valid_len,
                                            block_pos=block_pos,
                                            window=window, sink=sink,
-                                           alibi=alibi)
+                                           alibi=alibi,
+                                           layer_window=layer_window)
     else:
         attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
                                                 write_pos, kv_valid_len,
                                                 full_prefill=full_prefill,
-                                                alibi=alibi)
+                                                alibi=alibi,
+                                                layer_window=layer_window)
     attn_in = attn.reshape(b, s, cfg.q_size)
     if collect_stats:
         stats["o_proj"] = _absmax_in(attn_in)
@@ -526,6 +567,10 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         attn = dispatch.linear(layer_params["o_proj"], attn_in,
                                _algo("o_proj"))
     attn = _lora("o_proj", attn_in, attn)
+    if cfg.post_block_norms:
+        # Gemma-2 post_attention_layernorm: normalizes the attn OUTPUT
+        # before the residual add (HF Gemma2DecoderLayer)
+        attn = block_norm(cfg, attn, layer_params["post_attn_norm"])
 
     if cfg.parallel_blocks:
         mlp_res, mlp_shared = x, shared_h     # mlp reads the block input
@@ -557,6 +602,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         h = _lora("down_proj", h,
                   dispatch.linear(layer_params["down_proj"], h,
                                   _algo("down_proj")))
+    if cfg.post_block_norms:
+        h = block_norm(cfg, h, layer_params["post_mlp_norm"])
 
     if cfg.parallel_blocks:
         out = x + attn.astype(x.dtype) + h.astype(x.dtype)
@@ -608,7 +655,53 @@ def _head(params: Dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
                          preferred_element_type=jnp.float32)
     else:
         logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
-    return logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap:
+        # Gemma-2 final_logit_softcapping
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
+
+
+def _pattern_period(cfg: ModelConfig) -> int:
+    """Layer-scan group size for alternating-window archs (Gemma-2)."""
+    p = cfg.sliding_window_pattern
+    if p <= 1 or not cfg.sliding_window:
+        return 1
+    if cfg.num_layers % p:
+        raise ValueError(
+            f"num_layers ({cfg.num_layers}) must be a multiple of "
+            f"sliding_window_pattern ({p})")
+    return p
+
+
+def _group(tree, p: int):
+    """Reshape every (L, ...) leaf to (L/p, p, ...) for the grouped scan."""
+    if p == 1:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((a.shape[0] // p, p) + a.shape[1:]), tree)
+
+
+def _ungroup(tree, p: int):
+    if p == 1:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), tree)
+
+
+def _group_slice(tree, j: int, p: int):
+    """Sub-layer j's slice of a grouped scan input."""
+    if p == 1:
+        return tree
+    return jax.tree_util.tree_map(lambda a: a[j], tree)
+
+
+def _group_stack(trees, p: int):
+    """Stack p sub-layer scan outputs back onto a leading axis."""
+    if p == 1:
+        return trees[0]
+    return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *trees)
 
 
 def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
@@ -638,25 +731,45 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         layer_cache_struct = qdyn.merge_into_cache(layer_cache_struct,
                                                    outlier_state)
 
-    def body(x, per_layer):
-        layer_params, layer_cache = per_layer
-        res = decoder_layer(cfg, layer_params, x, sin, cos,
-                            layer_cache, write_pos, kv_valid_len,
-                            collect_stats=collect_stats,
-                            full_prefill=full_prefill, alibi=alibi,
-                            lora_ids=lora_ids)
-        if collect_stats:
-            x, new_cache, stats = res
-            return x, (new_cache, stats)
-        x, new_cache = res
-        return x, new_cache
+    p = _pattern_period(cfg)
 
-    x, scan_out = jax.lax.scan(body, x,
-                               (params["layers"], layer_cache_struct))
+    def one_layer(x, layer_params, layer_cache, j):
+        return decoder_layer(cfg, layer_params, x, sin, cos,
+                             layer_cache, write_pos, kv_valid_len,
+                             collect_stats=collect_stats,
+                             full_prefill=full_prefill, alibi=alibi,
+                             lora_ids=lora_ids,
+                             layer_window=cfg.layer_window(j))
+
+    def body(x, per_group):
+        # alternating-window archs (Gemma-2) scan over groups of p layers
+        # so each sub-layer's window stays STATIC (the flash/paged kernels
+        # need compile-time windows); p == 1 is the plain layer scan
+        gp, gc = per_group
+        caches, stats_list = [], []
+        for j in range(p):
+            res = one_layer(x, _group_slice(gp, j, p),
+                            _group_slice(gc, j, p), j)
+            if collect_stats:
+                x, nc, st = res
+                stats_list.append(st)
+            else:
+                x, nc = res
+            caches.append(nc)
+        nc = _group_stack(caches, p)
+        if collect_stats:
+            return x, (nc, _group_stack(stats_list, p))
+        return x, nc
+
+    x, scan_out = jax.lax.scan(
+        body, x, (_group(params["layers"], p),
+                  _group(layer_cache_struct, p)))
     if collect_stats:
         new_caches, stats = scan_out
+        stats = _ungroup(stats, p)
     else:
         new_caches, stats = scan_out, None
+    new_caches = _ungroup(new_caches, p)
     if outlier_state:
         new_caches, new_ostate = qdyn.split_from_cache(new_caches)
     logits = _head(params, cfg, x)
@@ -710,23 +823,35 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         pools.update(k_scale=paged_state.k_scale,
                      v_scale=paged_state.v_scale)
 
-    def body(carry, per_layer):
+    p = _pattern_period(cfg)
+
+    def body(carry, per_group):
         x, pools = carry
-        layer_params, layer_ostate, layer_idx = per_layer
-        cache = qdyn.merge_into_cache(dict(pools), layer_ostate)
-        x, new_cache = decoder_layer(cfg, layer_params, x, sin, cos,
-                                     cache, write_pos, kv_valid_len,
-                                     block_table=block_table + layer_idx * nb,
-                                     block_pos=block_pos,
-                                     window=window, sink=sink, alibi=alibi,
-                                     lora_ids=lora_ids)
-        new_pools, new_ostate = qdyn.split_from_cache(new_cache)
-        return (x, new_pools), new_ostate
+        gp, go, gidx = per_group
+        ostates = []
+        for j in range(p):
+            cache = qdyn.merge_into_cache(dict(pools),
+                                          _group_slice(go, j, p))
+            lidx = gidx[j] if p > 1 else gidx
+            x, new_cache = decoder_layer(cfg, _group_slice(gp, j, p), x,
+                                         sin, cos, cache, write_pos,
+                                         kv_valid_len,
+                                         block_table=block_table + lidx * nb,
+                                         block_pos=block_pos,
+                                         window=window, sink=sink,
+                                         alibi=alibi, lora_ids=lora_ids,
+                                         layer_window=cfg.layer_window(j))
+            pools, no = qdyn.split_from_cache(new_cache)
+            ostates.append(no)
+        return (x, pools), _group_stack(ostates, p)
 
     (x, pools), new_ostate = jax.lax.scan(
         body, (x, pools),
-        (params["layers"], outlier_state or {},
-         jnp.arange(num_layers, dtype=jnp.int32)))
+        (_group(params["layers"], p), _group(outlier_state or {}, p),
+         jnp.arange(num_layers, dtype=jnp.int32).reshape(
+             num_layers // p, p) if p > 1
+         else jnp.arange(num_layers, dtype=jnp.int32)))
+    new_ostate = _ungroup(new_ostate, p)
     logits = _head(params, cfg, x)
     new_state = PagedKVState(
         k=pools["k"], v=pools["v"],

@@ -274,6 +274,54 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             embed_scale=float(hf_config.hidden_size) ** 0.5,
             tie_word_embeddings=True, quant=quant)
 
+    if mt == "gemma2":
+        return ModelConfig(
+            arch="gemma2", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            hidden_act=g("hidden_activation", "gelu_pytorch_tanh"),
+            embed_scale=float(hf_config.hidden_size) ** 0.5,
+            # 1/sqrt(query_pre_attn_scalar) replaces 1/sqrt(head_dim)
+            attn_scale=float(g("query_pre_attn_scalar",
+                               256)) ** -0.5,
+            attn_logit_softcap=g("attn_logit_softcapping", 0.0) or 0.0,
+            final_logit_softcap=g("final_logit_softcapping", 0.0) or 0.0,
+            post_block_norms=True,
+            # even layers sliding, odd global (HF Gemma2: is_sliding =
+            # not bool(layer_idx % 2))
+            sliding_window=g("sliding_window", 0) or 0,
+            sliding_window_pattern=2,
+            tie_word_embeddings=True, quant=quant)
+
+    if mt == "qwen3":
+        return ModelConfig(
+            arch="qwen3", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            qk_norm=True,
+            sliding_window=(g("sliding_window", 0) or 0)
+            if g("use_sliding_window", False) else 0,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
     if mt == "gpt_bigcode":     # santacoder / starcoder1 (MQA gpt2)
         inner = g("n_inner") or 4 * hf_config.n_embd
         return ModelConfig(
@@ -483,6 +531,42 @@ def _float_layer(cfg: ModelConfig, hf: Mapping, i: int) -> Dict:
         for k in ("input_norm", "post_norm"):
             fl[k] = {"w": fl[k]["w"] + 1.0}
         return fl
+    if a == "gemma2":
+        p = f"model.layers.{i}."
+        fl = {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            # pre_feedforward_layernorm is the shared decoder's mlp input
+            # norm slot; the two post-block norms are Gemma-2-specific
+            "post_norm": _norm(hf, p + "pre_feedforward_layernorm"),
+            "post_attn_norm": _norm(hf, p + "post_attention_layernorm"),
+            "post_mlp_norm": _norm(hf, p + "post_feedforward_layernorm"),
+        }
+        for k in ("input_norm", "post_norm", "post_attn_norm",
+                  "post_mlp_norm"):
+            fl[k] = {"w": fl[k]["w"] + 1.0}    # Gemma (1 + w) RMSNorm
+        return fl
+    if a == "qwen3":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+            "q_norm": _norm(hf, p + "self_attn.q_norm"),
+            "k_norm": _norm(hf, p + "self_attn.k_norm"),
+        }
     if a == "gpt_bigcode":
         p = f"transformer.h.{i}."
         return {
@@ -553,6 +637,8 @@ _TOPLEVEL = {
     "phi": ("model.embed_tokens", None, None, "model.final_layernorm",
             "lm_head"),
     "gemma": ("model.embed_tokens", None, None, "model.norm", None),
+    "gemma2": ("model.embed_tokens", None, None, "model.norm", None),
+    "qwen3": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "baichuan": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "gpt_bigcode": ("transformer.wte", "transformer.wpe", None,
                     "transformer.ln_f", None),
@@ -566,9 +652,9 @@ def _quantize_layer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
     """Uniform float layer dict -> quantized params (same routing as llama)."""
     from .llama import act_scale_for
 
-    out: Dict = {"input_norm": fl["input_norm"]}
-    if "post_norm" in fl:
-        out["post_norm"] = fl["post_norm"]
+    # carry every non-linear entry through as-is (norms incl. Gemma-2
+    # post-block norms and Qwen3 q/k norms)
+    out: Dict = {k: v for k, v in fl.items() if k not in LINEAR_MODULES}
     for mod in LINEAR_MODULES:
         w, b = fl[mod]
         algo = cfg.module_algo(mod)
@@ -587,7 +673,7 @@ def params_from_hf(cfg: ModelConfig, hf: Mapping[str, np.ndarray],
     embed, pos_embed, embed_norm, final_norm, lm_head = _TOPLEVEL[cfg.arch]
     layers = [_quantize_layer(cfg, _float_layer(cfg, hf, i), act_scales, i)
               for i in range(cfg.num_layers)]
-    gemma_norm = 1.0 if cfg.arch == "gemma" else 0.0
+    gemma_norm = 1.0 if cfg.arch in ("gemma", "gemma2") else 0.0
     params: Dict = {
         "embed": {"w": _arr(hf[embed + ".weight"]).astype(cfg.dtype)},
         "layers": stack_layers(layers),
@@ -647,6 +733,12 @@ def init_random_params(cfg: ModelConfig, key: jax.Array,
         }
         if not cfg.shared_block_norm:
             fl["post_norm"] = norm_init()
+        if cfg.post_block_norms:
+            fl["post_attn_norm"] = norm_init()
+            fl["post_mlp_norm"] = norm_init()
+        if cfg.qk_norm:
+            fl["q_norm"] = {"w": jnp.ones((cfg.head_dim,), jnp.float32)}
+            fl["k_norm"] = {"w": jnp.ones((cfg.head_dim,), jnp.float32)}
         layers.append(_quantize_layer(cfg, fl, act_scales, i))
 
     params: Dict = {

@@ -31,6 +31,8 @@ SUPPORTED_ARCHS = {
     "mpt": "families",
     "phi": "families",
     "gemma": "families",
+    "gemma2": "families",
+    "qwen3": "families",
     "baichuan": "families",
     "gpt_bigcode": "families",
     "starcoder2": "families",

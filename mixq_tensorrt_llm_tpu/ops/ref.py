@@ -140,6 +140,7 @@ def attention(
     mask: Optional[jax.Array] = None,   # broadcastable to (b, hq, sq, skv), True = keep
     scale: Optional[float] = None,
     bias: Optional[jax.Array] = None,   # additive logits bias (ALiBi), same broadcast
+    softcap: float = 0.0,               # tanh logit softcapping (Gemma-2)
 ) -> jax.Array:
     """Reference multi-head attention with GQA (hq % hkv == 0), f32 softmax."""
     b, sq, hq, d = q.shape
@@ -155,6 +156,9 @@ def attention(
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
+    if softcap:
+        # Gemma-2 attn_logit_softcapping (HF Gemma2Attention eager path)
+        logits = jnp.tanh(logits / softcap) * softcap
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -171,6 +175,7 @@ def attention_int8kv(
     mask: Optional[jax.Array] = None,   # broadcastable to (b, hq, sq, skv)
     scale: Optional[float] = None,
     bias: Optional[jax.Array] = None,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Attention straight over the int8 KV cache — no dequantized copy.
 

@@ -131,10 +131,31 @@ def _gemma():
         attn_implementation="eager")
 
 
+def _gemma2():
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+    return Gemma2ForCausalLM, Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+        query_pre_attn_scalar=24, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=4,
+        attn_implementation="eager")
+
+
+def _qwen3():
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+    return Qwen3ForCausalLM, Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+        tie_word_embeddings=False, attn_implementation="eager")
+
+
 FAMILIES = {
     "opt": _opt, "gpt2": _gpt2, "gptj": _gptj, "gpt_neox": _gpt_neox,
     "falcon_mqa": _falcon_mqa, "falcon_gqa": _falcon_gqa, "bloom": _bloom,
-    "mpt": _mpt, "phi": _phi, "gemma": _gemma,
+    "mpt": _mpt, "phi": _phi, "gemma": _gemma, "gemma2": _gemma2,
+    "qwen3": _qwen3,
     "gpt_bigcode": _gpt_bigcode, "starcoder2": _starcoder2,
     "stablelm": _stablelm,
 }
@@ -170,7 +191,8 @@ def test_hf_logits_parity(name):
     assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
 
 
-@pytest.mark.parametrize("name", ["opt", "gptj", "bloom", "phi", "gemma"])
+@pytest.mark.parametrize("name", ["opt", "gptj", "bloom", "phi", "gemma",
+                                  "gemma2", "qwen3"])
 def test_int8_mix_forward_close(name):
     """Quantized forward stays close to the float path for every block
     structure (sequential/parallel, LN/RMS, dense/gated, alibi/rope)."""
@@ -241,6 +263,36 @@ def test_baichuan_wpack_layout():
     ref = our_logits(cfg_l, registry.params_from_hf(cfg_l, sd))
     got = our_logits(cfg_b, registry.params_from_hf(cfg_b, bsd))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gemma2_paged_executor_matches_session():
+    """Gemma-2 axes through the runtime: alternating per-layer windows
+    (grouped layer scan), logit softcaps, and post-block norms must give
+    identical greedy tokens on the dense session and the paged executor."""
+    from mixq_tensorrt_llm_tpu.models import ModelConfig
+    from mixq_tensorrt_llm_tpu.models.families import init_random_params
+    from mixq_tensorrt_llm_tpu.runtime import Executor, GenerationSession
+    cfg = ModelConfig(
+        arch="gemma2", vocab_size=128, hidden_size=64,
+        intermediate_size=96, num_layers=4, num_heads=4, num_kv_heads=2,
+        head_dim=16, attn_scale=24 ** -0.5, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, post_block_norms=True,
+        sliding_window=8, sliding_window_pattern=2,
+        hidden_act="gelu_pytorch_tanh", embed_scale=8.0,
+        tie_word_embeddings=True, max_position_embeddings=128)
+    params = init_random_params(cfg, jax.random.PRNGKey(1))
+    session = GenerationSession(params, cfg, max_seq_len=64,
+                                prefill_buckets=(16,),
+                                use_flash_prefill=False)
+    # prompt longer than the window so windowed layers actually truncate
+    prompts = [list(range(1, 13)), [20, 21, 22]]
+    want = session.generate(prompts, max_new_tokens=8).sequences
+
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=64,
+                  block_size=8, prefill_chunk=16)
+    ids = [ex.submit(p, max_new_tokens=8) for p in prompts]
+    done = ex.run()
+    assert [done[i].sequence for i in ids] == want
 
 
 def test_alibi_session_generate():
