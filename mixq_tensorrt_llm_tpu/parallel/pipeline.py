@@ -9,10 +9,17 @@ schedule keeps every stage busy once the pipeline fills. No per-rank
 programs, no NCCL bookkeeping: the collective IS the schedule.
 
 This module provides the scoring/prefill forward (full causal attention,
-no KV cache) used by PPL evaluation and calibration at pp > 1. The decode
-path stays dp/tp-sharded (decode is latency-bound; pipelining single-token
-steps only adds bubbles — the reference reaches the same conclusion by
-broadcasting tokens between engine stages, generation.py:2528).
+no KV cache) used by PPL evaluation and calibration at pp > 1, and
+`pp_generate` — pipeline-parallel GENERATION (the reference serves
+Qwen2-72B at pp>1: per-stage engines with NCCL P2P activations and an
+mpi4py token broadcast from the last to the first stage every step,
+generation.py:2528-2559). The TPU re-design replaces the broadcast with a
+circular schedule: with num_microbatches == pp, every stage processes a
+different microbatch every tick (100% steady-state utilization — the
+reference's single-stream PP decode idles (pp-1)/pp of each step), and the
+last stage EMBEDS the token it just sampled so the ordinary ring ppermute
+delivers it straight to stage 0 — the control-plane broadcast disappears
+into the data path.
 """
 
 from __future__ import annotations
@@ -147,3 +154,171 @@ def pipeline_score_logits(params: Dict, cfg: ModelConfig, mesh: Mesh,
         out_specs=P())
     out = shmapped(layer_params, other, tokens_mb)
     return out.reshape(b, s, cfg.vocab_size)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel generation
+# ---------------------------------------------------------------------------
+
+def _cache_update(caches, new_slice, idx, valid):
+    """Merge one microbatch's updated cache slab back at position idx
+    (axis 1), keeping the old content on invalid (fill/drain) ticks."""
+    def upd(a, ns):
+        old = jax.lax.dynamic_index_in_dim(a, idx, 1, keepdims=False)
+        ns = jnp.where(valid, ns, old)
+        return jax.lax.dynamic_update_index_in_dim(a, ns, idx, 1)
+    return jax.tree.map(upd, caches, new_slice)
+
+
+def pp_generate(params: Dict, cfg: ModelConfig, mesh: Mesh,
+                tokens: jax.Array, max_new_tokens: int,
+                max_seq_len: int = 0) -> jax.Array:
+    """Greedy generation with the model pipelined over the 'pp' mesh axis.
+
+    tokens: (B, S) uniform-length prompts, B divisible by pp. The batch is
+    split into exactly pp microbatches — the tight circular schedule where
+    every stage runs a different microbatch every tick, so steady-state
+    utilization is 100% and per-chip memory is num_layers/pp of the model
+    (the reason PP serving exists: reference quantize*.py --pp_size /
+    mix_qwen_mpi.sh runs Qwen2-72B on 5 engines).
+
+    Schedule: microbatch j is processed by stage r at tick j + k*pp + r
+    (k = decode step). Stage pp-1 samples token k+1, embeds it, and the
+    same lax.ppermute that hops activations delivers the embedding to
+    stage 0 one tick later — exactly when stage 0 is due to start
+    microbatch j's step k+1. KV caches live per stage, (L/pp, pp, B/pp,
+    Smax, Hkv, D), never leaving their shard.
+
+    Returns generated tokens (B, max_new_tokens) int32 (greedy), the first
+    column being the token after the prompt.
+    """
+    pp = mesh.shape["pp"]
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+    assert cfg.sliding_window_pattern <= 1, \
+        "alternating-window archs not supported in the pp path yet"
+    m = pp                                   # tight schedule
+    b, s = tokens.shape
+    assert b % m == 0, (b, m)
+    mb = b // m
+    n_new = max_new_tokens
+    smax = max_seq_len or s + n_new
+    assert smax >= s + n_new, (smax, s, n_new)
+
+    from ..quant.config import KVCacheQuantAlgo
+    kv_int8 = cfg.quant.kv_cache == KVCacheQuantAlgo.INT8
+
+    tokens_mb = tokens.reshape(m, mb, s)
+    layer_params = params["layers"]
+    other = {k: v for k, v in params.items() if k != "layers"}
+    layer_specs = jax.tree.map(lambda _: P("pp"), layer_params)
+    other_specs = jax.tree.map(lambda _: P(), other)
+    ll = cfg.num_layers // pp
+
+    def run(layer_local, other_params, tokens_mb):
+        rank = jax.lax.axis_index("pp")
+        ring = [(i, (i + 1) % pp) for i in range(pp)]
+
+        kv_shape = (ll, m, mb, smax, cfg.num_kv_heads, cfg.head_dim)
+        if kv_int8:
+            caches0 = {"k": jnp.zeros(kv_shape, jnp.int8),
+                       "v": jnp.zeros(kv_shape, jnp.int8),
+                       "k_scale": jnp.ones(kv_shape[:-1], jnp.float32),
+                       "v_scale": jnp.ones(kv_shape[:-1], jnp.float32)}
+        else:
+            caches0 = {"k": jnp.zeros(kv_shape, cfg.dtype),
+                       "v": jnp.zeros(kv_shape, cfg.dtype)}
+        caches0 = jax.tree.map(lambda a: jax.lax.pvary(a, "pp"), caches0)
+
+        def stage(h, caches, idx, write_pos, kv_len, full_prefill):
+            """Local layer slab over microbatch idx's cache slice."""
+            cache_slice = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, idx, 1,
+                                                       keepdims=False),
+                caches)
+            sin, cos, alibi = mcommon._positional_arrays(cfg, write_pos)
+
+            def body(hh, xs):
+                lp, lc = xs
+                hh, nc = mcommon.decoder_layer(
+                    cfg, lp, hh, sin, cos, lc, write_pos, kv_len,
+                    full_prefill=full_prefill, alibi=alibi)
+                return hh, nc
+
+            h, new_slice = jax.lax.scan(body, h, (layer_local, cache_slice))
+            return h, new_slice
+
+        # ---- prefill: fill the pipeline, m + pp - 1 ticks --------------
+        pos_pre = jnp.tile(jnp.arange(s, dtype=jnp.int32), (mb, 1))
+        kvl_pre = jnp.full((mb,), s, jnp.int32)
+
+        def pre_tick(t, carry):
+            h_ring, caches, tok0 = carry
+            idx = t - rank
+            valid = (idx >= 0) & (idx < m)
+            safe = jnp.clip(idx, 0, m - 1)
+            fresh = mcommon._embed(other_params, cfg, tokens_mb[safe],
+                                   pos_pre)
+            h = jnp.where(rank == 0, fresh, h_ring)
+            h_out, new_slice = stage(h, caches, safe, pos_pre, kvl_pre,
+                                     True)
+            caches = _cache_update(caches, new_slice, safe, valid)
+            logits = mcommon._head(other_params, cfg, h_out[:, -1:])
+            tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            emit = valid & (rank == pp - 1)
+            tok0 = jnp.where(emit, tok0.at[safe].set(tok), tok0)
+            h_next = jax.lax.ppermute(h_out, "pp", ring)
+            return h_next, caches, tok0
+
+        h0 = jax.lax.pvary(jnp.zeros((mb, s, cfg.hidden_size), cfg.dtype),
+                           "pp")
+        tok0 = jax.lax.pvary(jnp.zeros((m, mb), jnp.int32), "pp")
+        _, caches, tok0 = jax.lax.fori_loop(0, m + pp - 1, pre_tick,
+                                            (h0, caches0, tok0))
+        tok0 = jax.lax.psum(jnp.where(rank == pp - 1, tok0, 0), "pp")
+
+        # ---- decode: circular pipeline, one microbatch-token per tick --
+        gen0 = jax.lax.pvary(jnp.zeros((m, mb, n_new), jnp.int32), "pp")
+        hd0 = jax.lax.pvary(jnp.zeros((mb, 1, cfg.hidden_size), cfg.dtype),
+                            "pp")
+
+        def dec_tick(t, carry):
+            h_ring, caches, gen = carry
+            idx = jnp.mod(t - rank, m)
+            k = (t - rank - idx) // m
+            valid = (t >= rank) & (k < n_new - 1)
+            safe_k = jnp.clip(k, 0, n_new - 2)
+            wp = jnp.full((mb, 1), s + safe_k, jnp.int32)
+            kvl = jnp.full((mb,), s + safe_k + 1, jnp.int32)
+            fresh = mcommon._embed(other_params, cfg, tok0[idx][:, None],
+                                   wp)
+            h = jnp.where((rank == 0) & (k == 0), fresh, h_ring)
+            h_out, new_slice = stage(h, caches, idx, wp, kvl, False)
+            caches = _cache_update(caches, new_slice, idx, valid)
+            logits = mcommon._head(other_params, cfg, h_out)
+            tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            emit = valid & (rank == pp - 1)
+            gen = jnp.where(emit, gen.at[idx, :, safe_k + 1].set(tok), gen)
+            # last stage embeds its sample: the ring hop (pp-1)->0 IS the
+            # reference's token broadcast (generation.py:2528), in-graph
+            wp1 = jnp.full((mb, 1), s + safe_k + 1, jnp.int32)
+            h_send = jnp.where(
+                rank == pp - 1,
+                mcommon._embed(other_params, cfg, tok[:, None], wp1),
+                h_out)
+            h_next = jax.lax.ppermute(h_send, "pp", ring)
+            return h_next, caches, gen
+
+        if n_new > 1:
+            _, _, gen = jax.lax.fori_loop(0, m * (n_new - 1) + pp - 1,
+                                          dec_tick, (hd0, caches, gen0))
+        else:
+            gen = gen0
+        gen = jax.lax.psum(jnp.where(rank == pp - 1, gen, 0), "pp")
+        return gen.at[:, :, 0].set(tok0)
+
+    shmapped = shard_map(
+        run, mesh=mesh,
+        in_specs=(layer_specs, other_specs, P()),
+        out_specs=P())
+    gen = shmapped(layer_params, other, tokens_mb)
+    return gen.reshape(b, n_new)

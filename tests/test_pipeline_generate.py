@@ -1,0 +1,72 @@
+"""Pipeline-parallel generation vs the single-device session.
+
+The circular pp decode schedule (parallel/pipeline.py::pp_generate) must
+produce exactly the greedy tokens of GenerationSession — same decoder_layer
+code, so CPU results are bit-identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.parallel import Mapping
+from mixq_tensorrt_llm_tpu.parallel.pipeline import pp_generate
+from mixq_tensorrt_llm_tpu.quant import (KVCacheQuantAlgo, QuantAlgo,
+                                         QuantConfig)
+from mixq_tensorrt_llm_tpu.runtime import GenerationSession
+
+from test_pipeline import shard_for_pp, tiny_cfg
+
+
+@pytest.mark.parametrize("quant", [
+    QuantConfig(),
+    QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=4,
+                kv_cache=KVCacheQuantAlgo.INT8),
+])
+def test_pp_generate_matches_session(quant):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mapping = Mapping(pp=4)
+    mesh = mapping.make_mesh(jax.devices()[:4])
+
+    cfg = tiny_cfg(num_layers=4, quant=quant)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+
+    b, s, n = 8, 8, 5
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (b, s), 1,
+                                cfg.vocab_size)
+
+    session = GenerationSession(params, cfg, max_seq_len=s + n,
+                                prefill_buckets=(s,),
+                                use_flash_prefill=False)
+    want = session.generate(np.asarray(tokens).tolist(),
+                            max_new_tokens=n).sequences
+    want_gen = np.asarray([seq[s:] for seq in want])
+
+    sharded = shard_for_pp(params, mesh)
+    got = pp_generate(sharded, cfg, mesh, tokens, max_new_tokens=n)
+    np.testing.assert_array_equal(np.asarray(got), want_gen)
+
+
+def test_pp_generate_single_token():
+    """max_new_tokens=1 exercises the prefill-only path (no decode loop)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mapping = Mapping(pp=2)
+    mesh = mapping.make_mesh(jax.devices()[:2])
+    cfg = tiny_cfg(num_layers=2)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(3))
+    b, s = 4, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (b, s), 1,
+                                cfg.vocab_size)
+    session = GenerationSession(params, cfg, max_seq_len=s + 1,
+                                prefill_buckets=(s,),
+                                use_flash_prefill=False)
+    want = session.generate(np.asarray(tokens).tolist(),
+                            max_new_tokens=1).sequences
+    want_gen = np.asarray([seq[s:] for seq in want])
+    sharded = shard_for_pp(params, mesh)
+    got = pp_generate(sharded, cfg, mesh, tokens, max_new_tokens=1)
+    np.testing.assert_array_equal(np.asarray(got), want_gen)
