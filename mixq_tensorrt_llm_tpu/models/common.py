@@ -79,6 +79,16 @@ class ModelConfig:
     sliding_window_pattern: int = 1      # every p-th layer is GLOBAL, the
     #                                      rest windowed (Gemma-2: 2); 1 =
     #                                      cfg.sliding_window on all layers
+    # --- OLMo-2 / Cohere / Granite axes
+    pre_block_norms: bool = True         # OLMo-2 False: attn/MLP read the
+    #                                      RAW residual stream, norms apply
+    #                                      to block outputs only
+    qk_norm_flat: bool = False           # OLMo-2: q/k RMSNorm over the
+    #                                      flat (H*D) projection, not per
+    #                                      head (HF Olmo2Attention)
+    logit_scale: float = 1.0             # Cohere logit_scale; Granite
+    #                                      1/logits_scaling
+    residual_multiplier: float = 1.0     # Granite residual_multiplier
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
 
@@ -511,9 +521,11 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         needs the normed activations; LayerNorm archs, parallel blocks with
         a shared norm, stats collection, runtime LoRA, and the
         adaptive-outlier path compute the norm explicitly."""
-        p_norm = layer_params[norm_key]
+        p_norm = layer_params.get(norm_key)
         adaptive_path = mod in ostate and _algo(mod).is_mix
         h = shared_h
+        if h is None and not cfg.pre_block_norms:
+            h = x_res   # OLMo-2: the projection reads the raw residual
         if h is None and (adaptive_path or collect_stats or _has_lora(mod)
                           or cfg.norm_type != "rmsnorm"):
             h = block_norm(cfg, x_res, p_norm)
@@ -534,10 +546,14 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
     # --- attention ---
     qkv = proj_in("qkv_proj", "input_norm", x, shared_h=shared_h)
     q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    if cfg.qk_norm and cfg.qk_norm_flat:
+        # OLMo-2: one RMSNorm across the whole flat q / k projection
+        q = ops_ref.rmsnorm(q, layer_params["q_norm"]["w"], cfg.rms_norm_eps)
+        k = ops_ref.rmsnorm(k, layer_params["k_norm"]["w"], cfg.rms_norm_eps)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    if cfg.qk_norm:
+    if cfg.qk_norm and not cfg.qk_norm_flat:
         # Qwen3 per-head q/k RMSNorm, applied before RoPE (HF Qwen3Attention)
         q = ops_ref.rmsnorm(q, layer_params["q_norm"]["w"], cfg.rms_norm_eps)
         k = ops_ref.rmsnorm(k, layer_params["k_norm"]["w"], cfg.rms_norm_eps)
@@ -572,10 +588,16 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         # before the residual add (HF Gemma2DecoderLayer)
         attn = block_norm(cfg, attn, layer_params["post_attn_norm"])
 
+    def _res(base, delta):
+        """Residual add; Granite scales block outputs first."""
+        if cfg.residual_multiplier != 1.0:
+            delta = delta.astype(jnp.float32) * cfg.residual_multiplier
+        return base + delta.astype(base.dtype)
+
     if cfg.parallel_blocks:
         mlp_res, mlp_shared = x, shared_h     # mlp reads the block input
     else:
-        x = x + attn.astype(x.dtype)
+        x = _res(x, attn)
         mlp_res, mlp_shared = x, None
 
     # --- mlp: gated (SwiGLU/GeGLU), dense fc1-act-fc2, or MoE (Mixtral) ---
@@ -606,9 +628,9 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         h = block_norm(cfg, h, layer_params["post_mlp_norm"])
 
     if cfg.parallel_blocks:
-        out = x + attn.astype(x.dtype) + h.astype(x.dtype)
+        out = _res(_res(x, attn), h)
     else:
-        out = x + h.astype(x.dtype)
+        out = _res(x, h)
     new_cache = qdyn.merge_into_cache(new_cache, new_ostate)
     if collect_stats:
         return out, new_cache, stats
@@ -656,6 +678,9 @@ def _head(params: Dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     else:
         logits = dispatch.linear(lm_head, x, cfg.module_algo("lm_head"))
     logits = logits.astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        # Cohere logit_scale (multiplied); Granite passes 1/logits_scaling
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         # Gemma-2 final_logit_softcapping
         cap = cfg.final_logit_softcap

@@ -1,5 +1,6 @@
 """Model zoo beyond the llama lineage: OPT, GPT-2, GPT-J, GPT-NeoX,
-Falcon, BLOOM, MPT, Phi, Gemma, Baichuan.
+Falcon, BLOOM, MPT, Phi, Gemma, Gemma-2, Qwen3, GLM/GLM-4, OLMo-2,
+Cohere (Command-R), Granite, Baichuan, GPT-BigCode, StarCoder2, StableLM.
 
 Reference parity: the MixQ PyTorch registry covers llama / baichuan /
 aquila / gptj / falcon / opt (+ mistral / mpt / bloom / gpt_neox partial)
@@ -322,6 +323,101 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             tie_word_embeddings=g("tie_word_embeddings", False),
             quant=quant)
 
+    if mt in ("glm", "glm4"):
+        # GLM-4 family (HF GlmConfig/Glm4Config): partial INTERLEAVED
+        # rotary, qkv bias, fused gate_up weight; glm4 adds Gemma-2-style
+        # post-block norms (post_self_attn/post_mlp_layernorm)
+        head_dim = g("head_dim") or (hf_config.hidden_size
+                                     // hf_config.num_attention_heads)
+        return ModelConfig(
+            arch=mt, vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=head_dim,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            rotary_dim=int(head_dim * g("partial_rotary_factor", 0.5)),
+            rope_interleaved=True,
+            qkv_bias=g("attention_bias", True),
+            post_block_norms=(mt == "glm4"),
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
+    if mt == "olmo2":
+        # OLMo-2 (HF Olmo2DecoderLayer): NO pre-norms — RMSNorm on the
+        # attn/MLP OUTPUTS before the residual adds; flat q/k RMSNorm
+        return ModelConfig(
+            arch="olmo2", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            pre_block_norms=False, post_block_norms=True,
+            qk_norm=True, qk_norm_flat=True,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
+    if mt == "cohere":
+        # Command-R (HF CohereDecoderLayer): parallel attn+mlp sharing ONE
+        # bias-free LayerNorm, full interleaved rotary, scaled tied logits
+        return ModelConfig(
+            arch="cohere", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=g("layer_norm_eps", 1e-5), norm_type="layernorm",
+            rope_interleaved=True,
+            parallel_blocks=True, shared_block_norm=True,
+            qkv_bias=g("attention_bias", False),
+            attn_out_bias=g("attention_bias", False),
+            logit_scale=g("logit_scale", 1.0),
+            tie_word_embeddings=True, quant=quant)
+
+    if mt == "granite":
+        # Granite (HF GraniteForCausalLM): llama structure + the four
+        # scalar multipliers (embedding/residual/attention/logits)
+        return ModelConfig(
+            arch="granite", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            embed_scale=g("embedding_multiplier", 1.0),
+            residual_multiplier=g("residual_multiplier", 1.0),
+            attn_scale=g("attention_multiplier", 0.0) or 0.0,
+            logit_scale=1.0 / g("logits_scaling", 1.0),
+            qkv_bias=g("attention_bias", False),
+            attn_out_bias=g("attention_bias", False),
+            mlp_bias=g("mlp_bias", False),
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
     if mt == "gpt_bigcode":     # santacoder / starcoder1 (MQA gpt2)
         inner = g("n_inner") or 4 * hf_config.n_embd
         return ModelConfig(
@@ -567,6 +663,65 @@ def _float_layer(cfg: ModelConfig, hf: Mapping, i: int) -> Dict:
             "q_norm": _norm(hf, p + "self_attn.q_norm"),
             "k_norm": _norm(hf, p + "self_attn.k_norm"),
         }
+    if a in ("glm", "glm4"):
+        p = f"model.layers.{i}."
+        fl = {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            # HF stores gate_up fused already (GlmMLP.gate_up_proj; gate is
+            # the first chunk — matches our gated split)
+            "gate_up_proj": _lin(hf, p + "mlp.gate_up_proj"),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+        }
+        if a == "glm4":
+            fl["post_attn_norm"] = _norm(hf, p + "post_self_attn_layernorm")
+            fl["post_mlp_norm"] = _norm(hf, p + "post_mlp_layernorm")
+        return fl
+    if a == "olmo2":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            # no pre-norms: both norms apply to block OUTPUTS
+            "post_attn_norm": _norm(hf, p + "post_attention_layernorm"),
+            "post_mlp_norm": _norm(hf, p + "post_feedforward_layernorm"),
+            "q_norm": _norm(hf, p + "self_attn.q_norm"),
+            "k_norm": _norm(hf, p + "self_attn.k_norm"),
+        }
+    if a == "cohere":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            # ONE shared norm feeds both parallel blocks
+            "input_norm": _norm(hf, p + "input_layernorm"),
+        }
+    if a == "granite":
+        p = f"model.layers.{i}."
+        return {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _cat(
+                *zip(*[_lin(hf, p + f"mlp.{n}_proj")
+                       for n in ("gate", "up")])),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+        }
     if a == "gpt_bigcode":
         p = f"transformer.h.{i}."
         return {
@@ -639,6 +794,11 @@ _TOPLEVEL = {
     "gemma": ("model.embed_tokens", None, None, "model.norm", None),
     "gemma2": ("model.embed_tokens", None, None, "model.norm", None),
     "qwen3": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "glm": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "glm4": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "olmo2": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "cohere": ("model.embed_tokens", None, None, "model.norm", None),
+    "granite": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "baichuan": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "gpt_bigcode": ("transformer.wte", "transformer.wpe", None,
                     "transformer.ln_f", None),
@@ -729,16 +889,19 @@ def init_random_params(cfg: ModelConfig, key: jax.Array,
                              maybe_b(up_out, cfg.mlp_bias)),
             "down_proj": (rnd(lk[3], cfg.intermediate_size, cfg.hidden_size),
                           maybe_b(cfg.hidden_size, cfg.mlp_bias)),
-            "input_norm": norm_init(),
         }
-        if not cfg.shared_block_norm:
-            fl["post_norm"] = norm_init()
+        if cfg.pre_block_norms:
+            fl["input_norm"] = norm_init()
+            if not cfg.shared_block_norm:
+                fl["post_norm"] = norm_init()
         if cfg.post_block_norms:
             fl["post_attn_norm"] = norm_init()
             fl["post_mlp_norm"] = norm_init()
         if cfg.qk_norm:
-            fl["q_norm"] = {"w": jnp.ones((cfg.head_dim,), jnp.float32)}
-            fl["k_norm"] = {"w": jnp.ones((cfg.head_dim,), jnp.float32)}
+            qn = cfg.q_size if cfg.qk_norm_flat else cfg.head_dim
+            kn = cfg.kv_size if cfg.qk_norm_flat else cfg.head_dim
+            fl["q_norm"] = {"w": jnp.ones((qn,), jnp.float32)}
+            fl["k_norm"] = {"w": jnp.ones((kn,), jnp.float32)}
         layers.append(_quantize_layer(cfg, fl, act_scales, i))
 
     params: Dict = {

@@ -33,6 +33,11 @@ SUPPORTED_ARCHS = {
     "gemma": "families",
     "gemma2": "families",
     "qwen3": "families",
+    "glm": "families",
+    "glm4": "families",
+    "olmo2": "families",
+    "cohere": "families",
+    "granite": "families",
     "baichuan": "families",
     "gpt_bigcode": "families",
     "starcoder2": "families",

@@ -151,11 +151,61 @@ def _qwen3():
         tie_word_embeddings=False, attn_implementation="eager")
 
 
+def _glm():
+    from transformers import GlmConfig, GlmForCausalLM
+    return GlmForCausalLM, GlmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, attn_implementation="eager")
+
+
+def _glm4():
+    from transformers import Glm4Config, Glm4ForCausalLM
+    return Glm4ForCausalLM, Glm4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, attn_implementation="eager")
+
+
+def _olmo2():
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+    return Olmo2ForCausalLM, Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attn_implementation="eager")
+
+
+def _cohere():
+    from transformers import CohereConfig, CohereForCausalLM
+    return CohereForCausalLM, CohereConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        logit_scale=0.125, max_position_embeddings=64,
+        attn_implementation="eager")
+
+
+def _granite():
+    from transformers import GraniteConfig, GraniteForCausalLM
+    return GraniteForCausalLM, GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=4.0, residual_multiplier=0.5,
+        attention_multiplier=0.3, logits_scaling=2.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attn_implementation="eager")
+
+
 FAMILIES = {
     "opt": _opt, "gpt2": _gpt2, "gptj": _gptj, "gpt_neox": _gpt_neox,
     "falcon_mqa": _falcon_mqa, "falcon_gqa": _falcon_gqa, "bloom": _bloom,
     "mpt": _mpt, "phi": _phi, "gemma": _gemma, "gemma2": _gemma2,
-    "qwen3": _qwen3,
+    "qwen3": _qwen3, "glm": _glm, "glm4": _glm4, "olmo2": _olmo2,
+    "cohere": _cohere, "granite": _granite,
     "gpt_bigcode": _gpt_bigcode, "starcoder2": _starcoder2,
     "stablelm": _stablelm,
 }
@@ -188,7 +238,13 @@ def test_hf_logits_parity(name):
                           ).logits.numpy()
     got = our_logits(cfg, params)
     np.testing.assert_allclose(got, hf_logits, rtol=0.1, atol=0.15)
-    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+    # greedy parity where HF's top-1 margin clears bf16 weight noise —
+    # random tiny models have near-flat logits, so an unconditional argmax
+    # compare is seed noise, not a correctness signal
+    srt = np.sort(hf_logits, axis=-1)
+    decisive = (srt[..., -1] - srt[..., -2]) > 0.02
+    match = got.argmax(-1) == hf_logits.argmax(-1)
+    assert match[decisive].mean() > 0.98, match[decisive].mean()
 
 
 @pytest.mark.parametrize("name", ["opt", "gptj", "bloom", "phi", "gemma",
