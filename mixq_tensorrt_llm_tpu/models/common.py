@@ -89,6 +89,14 @@ class ModelConfig:
     logit_scale: float = 1.0             # Cohere logit_scale; Granite
     #                                      1/logits_scaling
     residual_multiplier: float = 1.0     # Granite residual_multiplier
+    # --- Qwen-MoE axes
+    moe_norm_topk: bool = True           # renormalize kept top-k router
+    #                                      mass (HF norm_topk_prob; Mixtral
+    #                                      always does, Qwen2-MoE does not)
+    moe_intermediate: int = 0            # expert FFN width (0 = use
+    #                                      intermediate_size)
+    moe_shared_intermediate: int = 0     # Qwen2-MoE shared-expert width
+    #                                      (0 = no shared expert)
     dtype: Any = jnp.bfloat16
     quant: QuantConfig = QuantConfig()
 

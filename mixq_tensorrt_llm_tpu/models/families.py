@@ -323,6 +323,41 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             tie_word_embeddings=g("tie_word_embeddings", False),
             quant=quant)
 
+    if mt in ("qwen2_moe", "qwen3_moe"):
+        # HF Qwen2MoeSparseMoeBlock / Qwen3MoeSparseMoeBlock: top-k router
+        # with optional renorm; qwen2_moe adds a sigmoid-gated shared
+        # expert; qwen3_moe adds per-head qk-norm. Homogeneous MoE stacks
+        # only (every layer sparse) — the default for both families.
+        if g("mlp_only_layers") or (g("decoder_sparse_step", 1) or 1) != 1:
+            raise NotImplementedError(
+                "mixed dense/MoE layer stacks are not supported")
+        return ModelConfig(
+            arch=mt, vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=g("head_dim") or (hf_config.hidden_size
+                                       // hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            num_experts=hf_config.num_experts,
+            top_k_experts=hf_config.num_experts_per_tok,
+            moe_norm_topk=bool(g("norm_topk_prob", False)),
+            moe_intermediate=g("moe_intermediate_size", 0) or 0,
+            moe_shared_intermediate=(
+                g("shared_expert_intermediate_size", 0) or 0
+                if mt == "qwen2_moe" else 0),
+            qkv_bias=(mt == "qwen2_moe"),
+            qk_norm=(mt == "qwen3_moe"),
+            sliding_window=(g("sliding_window", 0) or 0)
+            if g("use_sliding_window", False) else 0,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
     if mt in ("glm", "glm4"):
         # GLM-4 family (HF GlmConfig/Glm4Config): partial INTERLEAVED
         # rotary, qkv bias, fused gate_up weight; glm4 adds Gemma-2-style
@@ -663,6 +698,34 @@ def _float_layer(cfg: ModelConfig, hf: Mapping, i: int) -> Dict:
             "q_norm": _norm(hf, p + "self_attn.q_norm"),
             "k_norm": _norm(hf, p + "self_attn.k_norm"),
         }
+    if a in ("qwen2_moe", "qwen3_moe"):
+        p = f"model.layers.{i}."
+        fl = {
+            "qkv_proj": _cat(*zip(*[_lin(hf, p + f"self_attn.{n}_proj")
+                                    for n in "qkv"])),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+            "router_w": _t(hf[p + "mlp.gate.weight"]),
+            "experts_gate_up": jnp.stack([
+                jnp.concatenate(
+                    [_t(hf[p + f"mlp.experts.{e}.gate_proj.weight"]),
+                     _t(hf[p + f"mlp.experts.{e}.up_proj.weight"])], axis=1)
+                for e in range(cfg.num_experts)]),
+            "experts_down": jnp.stack([
+                _t(hf[p + f"mlp.experts.{e}.down_proj.weight"])
+                for e in range(cfg.num_experts)]),
+        }
+        if a == "qwen3_moe":
+            fl["q_norm"] = _norm(hf, p + "self_attn.q_norm")
+            fl["k_norm"] = _norm(hf, p + "self_attn.k_norm")
+        if cfg.moe_shared_intermediate:
+            fl["shared_gate_up_w"] = _cat(
+                *zip(*[_lin(hf, p + f"mlp.shared_expert.{n}_proj")
+                       for n in ("gate", "up")]))
+            fl["shared_down_w"] = _lin(hf, p + "mlp.shared_expert.down_proj")
+            fl["shared_gate_w"] = _t(hf[p + "mlp.shared_expert_gate.weight"])
+        return fl
     if a in ("glm", "glm4"):
         p = f"model.layers.{i}."
         fl = {
@@ -794,6 +857,10 @@ _TOPLEVEL = {
     "gemma": ("model.embed_tokens", None, None, "model.norm", None),
     "gemma2": ("model.embed_tokens", None, None, "model.norm", None),
     "qwen3": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "qwen2_moe": ("model.embed_tokens", None, None, "model.norm",
+                  "lm_head"),
+    "qwen3_moe": ("model.embed_tokens", None, None, "model.norm",
+                  "lm_head"),
     "glm": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "glm4": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
     "olmo2": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
@@ -812,10 +879,39 @@ def _quantize_layer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
     """Uniform float layer dict -> quantized params (same routing as llama)."""
     from .llama import act_scale_for
 
+    _MOE_RAW = ("router_w", "experts_gate_up", "experts_down",
+                "shared_gate_up_w", "shared_down_w", "shared_gate_w")
     # carry every non-linear entry through as-is (norms incl. Gemma-2
     # post-block norms and Qwen3 q/k norms)
-    out: Dict = {k: v for k, v in fl.items() if k not in LINEAR_MODULES}
+    out: Dict = {k: v for k, v in fl.items()
+                 if k not in LINEAR_MODULES and k not in _MOE_RAW}
+    if "router_w" in fl:
+        from . import moe as moe_mod
+        algo = cfg.module_algo("gate_up_proj")
+        if algo.is_mix:   # experts run weight-only (reference routing)
+            algo = (QuantAlgo.W8A16 if algo == QuantAlgo.INT8_MIX
+                    else QuantAlgo.W4A16)
+        moe = {
+            "router": {"w": jnp.asarray(fl["router_w"], jnp.bfloat16)},
+            "gate_up": moe_mod.quantize_expert_linear(
+                jnp.asarray(fl["experts_gate_up"], jnp.float32), algo),
+            "down": moe_mod.quantize_expert_linear(
+                jnp.asarray(fl["experts_down"], jnp.float32), algo),
+        }
+        if "shared_gate_up_w" in fl:
+            for src, dst in (("shared_gate_up_w", "shared_gate_up"),
+                             ("shared_down_w", "shared_down")):
+                w, b = fl[src]
+                moe[dst] = dispatch.quantize_linear_params(
+                    jnp.asarray(w, jnp.float32), algo,
+                    bias=jnp.asarray(b, jnp.float32)
+                    if b is not None else None)
+            moe["shared_gate"] = {
+                "w": jnp.asarray(fl["shared_gate_w"], jnp.float32)}
+        out["moe"] = moe
     for mod in LINEAR_MODULES:
+        if mod not in fl:
+            continue
         w, b = fl[mod]
         algo = cfg.module_algo(mod)
         scale = act_scale_for(act_scales, i, mod, w.shape[0]) \
@@ -890,6 +986,24 @@ def init_random_params(cfg: ModelConfig, key: jax.Array,
             "down_proj": (rnd(lk[3], cfg.intermediate_size, cfg.hidden_size),
                           maybe_b(cfg.hidden_size, cfg.mlp_bias)),
         }
+        if cfg.num_experts > 0:
+            del fl["gate_up_proj"], fl["down_proj"]
+            mi = cfg.moe_intermediate or cfg.intermediate_size
+            ek = jax.random.split(lk[2], 2 * cfg.num_experts + 3)
+            fl["router_w"] = rnd(ek[0], cfg.hidden_size, cfg.num_experts)
+            fl["experts_gate_up"] = jnp.stack([
+                rnd(ek[1 + e], cfg.hidden_size, 2 * mi)
+                for e in range(cfg.num_experts)])
+            fl["experts_down"] = jnp.stack([
+                rnd(ek[1 + cfg.num_experts + e], mi, cfg.hidden_size)
+                for e in range(cfg.num_experts)])
+            if cfg.moe_shared_intermediate:
+                si = cfg.moe_shared_intermediate
+                fl["shared_gate_up_w"] = (
+                    rnd(ek[-2], cfg.hidden_size, 2 * si), None)
+                fl["shared_down_w"] = (rnd(ek[-1], si, cfg.hidden_size),
+                                       None)
+                fl["shared_gate_w"] = rnd(ek[-2], cfg.hidden_size, 1)
         if cfg.pre_block_norms:
             fl["input_norm"] = norm_init()
             if not cfg.shared_block_norm:

@@ -33,16 +33,20 @@ from ..quant.config import QuantAlgo
 from .common import ModelConfig
 
 
-def router_probs(x: jax.Array, router_w: jax.Array, top_k: int):
-    """x (B,S,H), router_w (H,E) -> (weights (B,S,E) sparse-renormalized,
-    selected mask). Mirrors the reference's RenormalizeMode: softmax over
-    all experts, keep top-k, renormalize the kept mass to 1."""
+def router_probs(x: jax.Array, router_w: jax.Array, top_k: int,
+                 norm_topk: bool = True):
+    """x (B,S,H), router_w (H,E) -> weights (B,S,E), zero outside top-k.
+    Mirrors the reference's RenormalizeMode (and HF norm_topk_prob):
+    softmax over all experts, keep top-k, optionally renormalize the kept
+    mass to 1 (Mixtral yes, Qwen2-MoE default no)."""
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                    # (B,S,E)
     top_vals, _ = jax.lax.top_k(probs, top_k)
     thresh = top_vals[..., -1:]
     keep = probs >= thresh
     kept = jnp.where(keep, probs, 0.0)
+    if not norm_topk:
+        return kept
     return kept / jnp.maximum(kept.sum(-1, keepdims=True), 1e-9)
 
 
@@ -83,12 +87,30 @@ def moe_mlp(cfg: ModelConfig, moe_params: Dict, x: jax.Array,
     moe_params: {"router": {"w" (H,E)},
                  "gate_up": expert-stacked linear (E, H, 2I),
                  "down":    expert-stacked linear (E, I, H)}
+    plus, for Qwen2-MoE (HF Qwen2MoeSparseMoeBlock shared_expert):
+                {"shared_gate_up"/"shared_down": plain linear params,
+                 "shared_gate": {"w" (H, 1)}} — an always-on dense expert
+    whose output is sigmoid-gated and added to the routed mix.
     """
     if ragged is None:
         ragged = _use_ragged()
-    if ragged:
-        return _moe_mlp_ragged(cfg, moe_params, x)
-    return _moe_mlp_dense(cfg, moe_params, x)
+    out = (_moe_mlp_ragged if ragged else _moe_mlp_dense)(cfg, moe_params, x)
+    if "shared_gate_up" in moe_params:
+        from ..ops import dispatch
+        algo = cfg.module_algo("gate_up_proj")
+        if algo.is_mix:   # MoE family runs weight-only (reference routing)
+            algo = (QuantAlgo.W8A16 if algo == QuantAlgo.INT8_MIX
+                    else QuantAlgo.W4A16)
+        gu = dispatch.linear(moe_params["shared_gate_up"], x, algo)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        act = (jax.nn.silu(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(x.dtype)
+        shared = dispatch.linear(moe_params["shared_down"], act, algo)
+        g = jax.nn.sigmoid(jnp.dot(
+            x.astype(jnp.float32),
+            moe_params["shared_gate"]["w"].astype(jnp.float32)))  # (B,S,1)
+        out = out + (g * shared.astype(jnp.float32)).astype(out.dtype)
+    return out
 
 
 def _moe_mlp_ragged(cfg: ModelConfig, moe_params: Dict,
@@ -105,7 +127,9 @@ def _moe_mlp_ragged(cfg: ModelConfig, moe_params: Dict,
                      moe_params["router"]["w"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                    # (T, E)
     top_vals, top_ids = jax.lax.top_k(probs, k)                # (T, k)
-    top_vals = top_vals / jnp.maximum(top_vals.sum(-1, keepdims=True), 1e-9)
+    if cfg.moe_norm_topk:
+        top_vals = top_vals / jnp.maximum(top_vals.sum(-1, keepdims=True),
+                                          1e-9)
 
     eid = top_ids.reshape(-1)                                  # (T*k,)
     order = jnp.argsort(eid)                                   # stable
@@ -133,7 +157,8 @@ def _moe_mlp_dense(cfg: ModelConfig, moe_params: Dict,
     b, s, h = x.shape
     e = cfg.num_experts
     weights = router_probs(x, moe_params["router"]["w"],
-                           cfg.top_k_experts)               # (B,S,E)
+                           cfg.top_k_experts,
+                           norm_topk=cfg.moe_norm_topk)     # (B,S,E)
 
     xt = jnp.broadcast_to(x.reshape(1, b * s, h), (e, b * s, h))
     algo = cfg.module_algo("gate_up_proj")

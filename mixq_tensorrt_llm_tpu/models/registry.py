@@ -33,6 +33,8 @@ SUPPORTED_ARCHS = {
     "gemma": "families",
     "gemma2": "families",
     "qwen3": "families",
+    "qwen2_moe": "families",
+    "qwen3_moe": "families",
     "glm": "families",
     "glm4": "families",
     "olmo2": "families",

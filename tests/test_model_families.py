@@ -200,12 +200,37 @@ def _granite():
         attn_implementation="eager")
 
 
+def _qwen2_moe():
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+    return Qwen2MoeForCausalLM, Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        moe_intermediate_size=48, shared_expert_intermediate_size=96,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attn_implementation="eager")
+
+
+def _qwen3_moe():
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    return Qwen3MoeForCausalLM, Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, moe_intermediate_size=48,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attn_implementation="eager")
+
+
 FAMILIES = {
     "opt": _opt, "gpt2": _gpt2, "gptj": _gptj, "gpt_neox": _gpt_neox,
     "falcon_mqa": _falcon_mqa, "falcon_gqa": _falcon_gqa, "bloom": _bloom,
     "mpt": _mpt, "phi": _phi, "gemma": _gemma, "gemma2": _gemma2,
     "qwen3": _qwen3, "glm": _glm, "glm4": _glm4, "olmo2": _olmo2,
     "cohere": _cohere, "granite": _granite,
+    "qwen2_moe": _qwen2_moe, "qwen3_moe": _qwen3_moe,
     "gpt_bigcode": _gpt_bigcode, "starcoder2": _starcoder2,
     "stablelm": _stablelm,
 }
