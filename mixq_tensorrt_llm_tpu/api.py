@@ -136,6 +136,17 @@ class LLM:
             temperature=temperature, eos_token_id=eos_token_id,
             max_seq_len=self.max_seq_len, seed=seed)
 
+    def generate_medusa(self, heads, prompt: Sequence[int],
+                        max_new_tokens: int = 64, choices=None):
+        """Greedy Medusa decoding: self-drafting heads verified in ONE
+        forward over a static token tree (reference models/medusa +
+        runtime/medusa_utils.py). Output equals plain greedy decode;
+        trained heads raise tokens/step. Returns (tokens, MedusaStats)."""
+        from .runtime.medusa import medusa_generate
+        return medusa_generate(self.params, self.cfg, heads, list(prompt),
+                               max_new_tokens, choices=choices,
+                               max_seq_len=self.max_seq_len)
+
     def make_executor(self, max_batch: int = 8, block_size: int = 64,
                       prefill_chunk: int = 256,
                       sampling: SamplingConfig = SamplingConfig(),

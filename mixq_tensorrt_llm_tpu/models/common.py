@@ -260,7 +260,8 @@ def block_norm(cfg: ModelConfig, x: jax.Array, p: Dict) -> jax.Array:
 
 def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
                           write_pos, kv_valid_len, full_prefill: bool = False,
-                          alibi=None, layer_window: Optional[int] = None):
+                          alibi=None, layer_window: Optional[int] = None,
+                          attn_mask=None):
     """Write new_k/new_v into this layer's cache at write_pos and attend.
 
     q/new_k/new_v: (B, S, H, D); layer_cache: dict with k/v (+scales) of
@@ -294,7 +295,7 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
         k_all, v_all = ck, cv
         new_cache = {"k": ck, "v": cv}
 
-    if full_prefill and alibi is None and not softcap:
+    if full_prefill and alibi is None and not softcap and attn_mask is None:
         from ..parallel import context as sp_ctx
         if sp_ctx.active_mesh() is not None:
             # sequence-parallel scoring: exact causal attention with the
@@ -318,13 +319,21 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
 
     smax = ck.shape[1]
     kv_idx = jnp.arange(smax)
-    # mask (B, 1, S, Smax): causal in absolute positions, limited to valid len
-    mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) & \
-           (kv_idx[None, None, None, :] < kv_valid_len[:, None, None, None])
-    if window:
-        # Mistral-style window: attend only the last W positions
-        mask &= (kv_idx[None, None, None, :] >
-                 write_pos[:, None, :, None] - window)
+    if attn_mask is not None:
+        # caller-supplied mask (B, 1, S, Smax) — tree verification
+        # (Medusa): cache slots and token positions decouple, so the
+        # causal-by-slot construction below would be wrong
+        mask = attn_mask
+    else:
+        # mask (B, 1, S, Smax): causal in absolute positions, limited to
+        # valid len
+        mask = (kv_idx[None, None, None, :] <= write_pos[:, None, :, None]) \
+            & (kv_idx[None, None, None, :]
+               < kv_valid_len[:, None, None, None])
+        if window:
+            # Mistral-style window: attend only the last W positions
+            mask &= (kv_idx[None, None, None, :] >
+                     write_pos[:, None, :, None] - window)
     bias = None
     if alibi is not None:
         # slope_h * kv_pos is softmax-equivalent to slope_h * (kv - q)
@@ -441,7 +450,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   collect_stats: bool = False, block_table=None,
                   block_pos=None, window: int = 0, sink: int = 0,
                   full_prefill: bool = False, alibi=None, lora_ids=None,
-                  layer_window: Optional[int] = None):
+                  layer_window: Optional[int] = None, attn_mask=None):
     """One decoder block, config-driven across the zoo. x: (B, S, hidden).
 
     lora_ids (B,) int32 selects a stacked runtime-LoRA adapter per lane
@@ -569,6 +578,7 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
         q = _apply_positional(cfg, q, sin, cos)
         k = _apply_positional(cfg, k, sin, cos)
     if block_table is not None:
+        assert attn_mask is None, "tree masks are dense-cache only"
         attn, new_cache = _attention_paged(cfg, q, k, v, layer_cache,
                                            block_table, write_pos,
                                            kv_valid_len,
@@ -581,7 +591,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                                                 write_pos, kv_valid_len,
                                                 full_prefill=full_prefill,
                                                 alibi=alibi,
-                                                layer_window=layer_window)
+                                                layer_window=layer_window,
+                                                attn_mask=attn_mask)
     attn_in = attn.reshape(b, s, cfg.q_size)
     if collect_stats:
         stats["o_proj"] = _absmax_in(attn_in)
@@ -740,7 +751,8 @@ def _group_stack(trees, p: int):
 def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
             write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array,
             collect_stats: bool = False, full_prefill: bool = False,
-            outlier_state: Optional[Dict] = None, lora_ids=None):
+            outlier_state: Optional[Dict] = None, lora_ids=None,
+            attn_mask=None, return_hidden: bool = False):
     """Full decoder forward.
 
     tokens:       (B, S) int32
@@ -750,8 +762,12 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     outlier_state: optional quant.dynamic.init_model_state dict; when given
                   the mix linears run runtime-adaptive outlier selection and
                   the updated state is returned after the cache.
+    attn_mask:    optional (B, 1, S, Smax) bool mask overriding the causal
+                  construction (Medusa tree verification, runtime/medusa.py)
+    return_hidden: also return the pre-final-norm hidden states (B, S, H)
+                  as the LAST element (Medusa heads input).
     Returns (logits (B, S, vocab) float32, updated cache
-    [, outlier_state][, stats]).
+    [, outlier_state][, stats][, hidden]).
     """
     x = _embed(params, cfg, tokens, write_pos)
     sin, cos, alibi = _positional_arrays(cfg, write_pos)
@@ -772,7 +788,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                              collect_stats=collect_stats,
                              full_prefill=full_prefill, alibi=alibi,
                              lora_ids=lora_ids,
-                             layer_window=cfg.layer_window(j))
+                             layer_window=cfg.layer_window(j),
+                             attn_mask=attn_mask)
 
     def body(x, per_group):
         # alternating-window archs (Gemma-2) scan over groups of p layers
@@ -816,6 +833,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         out = out + (new_ostate,)
     if collect_stats:
         out = out + (stats,)
+    if return_hidden:
+        out = out + (x,)
     return out if len(out) > 2 else (out[0], out[1])
 
 

@@ -2,3 +2,4 @@ from .sampler import SamplingConfig, sample  # noqa: F401
 from .session import GenerationSession, GenerationOutput  # noqa: F401
 from .kv_cache import (BlockManager, PagedKVState, init_paged_kv)  # noqa: F401
 from .scheduler import Executor, Request  # noqa: F401
+from .medusa import medusa_generate, build_tree, MedusaStats  # noqa: F401
