@@ -89,8 +89,11 @@ class LLM:
     def generate(self, prompts: Union[str, Sequence[str]],
                  max_new_tokens: int = 64,
                  sampling: SamplingConfig = SamplingConfig(),
+                 bad_words: Optional[Sequence[str]] = None,
                  seed: int = 0) -> List[str]:
-        """Text in, text out."""
+        """Text in, text out. bad_words are strings that may never be
+        generated (tokenized without special tokens; reference run.py
+        --bad_words)."""
         assert self.tokenizer is not None, \
             "no tokenizer found; pass tokenizer= or use generate_tokens()"
         single = isinstance(prompts, str)
@@ -98,9 +101,11 @@ class LLM:
             prompts = [prompts]
         token_lists = [self.tokenizer(p)["input_ids"] for p in prompts]
         eos = getattr(self.tokenizer, "eos_token_id", None)
+        bw = [self.tokenizer(w, add_special_tokens=False)["input_ids"]
+              for w in bad_words] if bad_words else None
         out = self.session.generate(token_lists, max_new_tokens,
                                     sampling=sampling, eos_token_id=eos,
-                                    seed=seed)
+                                    bad_words=bw, seed=seed)
         texts = [self.tokenizer.decode(seq[len(tl):],
                                        skip_special_tokens=True)
                  for seq, tl in zip(out.sequences, token_lists)]
@@ -111,13 +116,21 @@ class LLM:
                         sampling: SamplingConfig = SamplingConfig(),
                         eos_token_id: Optional[int] = None,
                         num_beams: int = 1,
+                        bad_words: Optional[Sequence[Sequence[int]]] = None,
+                        logits_processors: Sequence = (),
                         seed: int = 0) -> GenerationOutput:
         """Token-id in, GenerationOutput out. num_beams > 1 runs paged
-        beam search with KV-block sharing across beams."""
+        beam search with KV-block sharing across beams. bad_words are
+        banned token-id sequences; logits_processors are jax-traceable
+        `(logits, history) -> logits` callables (see
+        GenerationSession.generate)."""
         return self.session.generate(list(prompts), max_new_tokens,
                                      sampling=sampling,
                                      eos_token_id=eos_token_id,
-                                     num_beams=num_beams, seed=seed)
+                                     num_beams=num_beams,
+                                     bad_words=bad_words,
+                                     logits_processors=logits_processors,
+                                     seed=seed)
 
     def generate_speculative(self, draft: "LLM",
                              prompts: Sequence[Sequence[int]],

@@ -54,21 +54,80 @@ def apply_repetition_penalty(logits: jax.Array, history: jax.Array,
     return jnp.where(seen, penalized, logits)
 
 
+BW_PAD = -2   # bad-words pad: never equals a token id or the -1 history pad
+
+
+def pack_bad_words(bad_words, max_len: int = 0) -> "jnp.ndarray":
+    """List of token-id sequences -> (N, L) int32, RIGHT-aligned, BW_PAD
+    padded (reference bad-words lists, generation.py dynamic decoder /
+    executor.pyi Request.bad_words). L is padded to >= max(2, max_len) so
+    distinct word sets of similar shape share one compiled program."""
+    import numpy as np
+    words = [list(w) for w in (bad_words or [])]
+    n = len(words)
+    l = max([len(w) for w in words] + [max_len, 2])
+    out = np.full((n, l), BW_PAD, np.int32)
+    for i, w in enumerate(words):
+        assert len(w) >= 1, "empty bad word"
+        out[i, l - len(w):] = w
+    return jnp.asarray(out)
+
+
+def ban_bad_words(logits: jax.Array, history: jax.Array,
+                  bad_words: jax.Array) -> jax.Array:
+    """Mask the final token of any bad-word sequence whose prefix matches
+    the tail of the generated history.
+
+    logits (B, V) or per-lane bad words (B, N, L) with logits (B, V);
+    history (B, W) right-aligned, -1 padded; bad_words (N, L) shared or
+    (B, N, L) per lane, right-aligned, BW_PAD padded. Single-token words
+    (prefix empty) are always banned — HF / reference semantics. W must
+    cover the longest prefix (L-1 <= W)."""
+    if bad_words.ndim == 2:
+        bad_words = bad_words[None]          # (1, N, L) broadcast over B
+    b, v = logits.shape
+    n, l = bad_words.shape[1], bad_words.shape[2]
+    if n == 0:
+        return logits
+    w = history.shape[1]
+    assert l - 1 <= w, "history window shorter than bad-word prefix"
+    tail = history[:, w - (l - 1):]                      # (B, L-1)
+    prefix = bad_words[:, :, :-1]                        # (B|1, N, L-1)
+    ok = (prefix == BW_PAD) | (tail[:, None, :] == prefix)
+    match = jnp.all(ok, axis=-1)                         # (B, N)
+    # all-pad filler rows (lanes with fewer words than the buffer) are
+    # inert: a pad in the LAST slot marks the row unused
+    match &= bad_words[:, :, -1] != BW_PAD
+    last = jnp.clip(bad_words[:, :, -1], 0, v - 1)       # (B|1, N)
+    onehot = jax.nn.one_hot(last, v, dtype=jnp.bool_)    # (B|1, N, V)
+    ban = jnp.any(match[..., None] & onehot, axis=1)     # (B, V)
+    return jnp.where(ban, -jnp.inf, logits)
+
+
 def sample(logits: jax.Array, key: jax.Array,
            config: SamplingConfig,
            history: jax.Array = None,
            suppress_token: jax.Array = None,
-           suppress_flag: jax.Array = None) -> jax.Array:
+           suppress_flag: jax.Array = None,
+           bad_words: jax.Array = None,
+           processors: tuple = ()) -> jax.Array:
     """logits (B, V) float32 -> token ids (B,) int32.
 
     history: optional (B, W) recent tokens for repetition penalty.
     suppress_token/suppress_flag: optional traced scalars; when flag != 0
     the given token id's logit is pushed to -inf (min_new_tokens eos ban,
     reference dynamic-decoder behavior) without recompiling per step.
+    bad_words: optional (N, L) packed array (pack_bad_words).
+    processors: jax-traceable `(logits, history) -> logits` callables run
+    on the raw logits first (reference logits_post_processor).
     """
+    for f in processors:
+        logits = f(logits, history)
     if config.repetition_penalty != 1.0 and history is not None:
         logits = apply_repetition_penalty(logits, history,
                                           config.repetition_penalty)
+    if bad_words is not None and bad_words.shape[0] > 0:
+        logits = ban_bad_words(logits, history, bad_words)
     if suppress_token is not None:
         v = logits.shape[-1]
         hit = jnp.arange(v)[None, :] == suppress_token
@@ -141,18 +200,28 @@ def sample_batched(logits: jax.Array, key: jax.Array,
                    params: SamplingParams,
                    history: Optional[jax.Array] = None,
                    suppress_token: Optional[jax.Array] = None,
-                   suppress_flag: Optional[jax.Array] = None) -> jax.Array:
+                   suppress_flag: Optional[jax.Array] = None,
+                   bad_words: Optional[jax.Array] = None,
+                   processors: tuple = ()) -> jax.Array:
     """logits (B, V) f32 -> tokens (B,) i32, all parameters traced per lane.
 
     Every lane pays the sort for top-k/top-p filtering even when disabled —
     the price of a single compiled program — but V-sized sorts are noise
     next to a decode step, and lanes with the filters off are handled by
     `where` masks, so the math is exactly the static-path math lane-wise.
+    bad_words: optional per-lane (B, N, L) packed array (pack_bad_words
+    per request, stacked; all-BW_PAD rows never match).
+    processors: jax-traceable `(logits, history) -> logits` callables run
+    on the raw logits first (reference logits_post_processor).
     """
     b, v = logits.shape
+    for f in processors:
+        logits = f(logits, history)
     if history is not None:
         logits = _apply_repetition_penalty_batched(
             logits, history, params.repetition_penalty)
+    if bad_words is not None and bad_words.shape[-2] > 0:
+        logits = ban_bad_words(logits, history, bad_words)
     if suppress_token is not None:
         hit = jnp.arange(v)[None, :] == suppress_token[:, None]
         logits = jnp.where(hit & (suppress_flag[:, None] != 0),

@@ -42,7 +42,8 @@ from ..models import common as mcommon
 from ..models.common import ModelConfig
 from .kv_cache import (BlockManager, PAD_POS, PagedKVState,
                        init_paged_kv)
-from .sampler import SamplingConfig, SamplingParams, batch_params, sample_batched
+from .sampler import (BW_PAD, SamplingConfig, SamplingParams, batch_params,
+                      sample_batched)
 
 HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
 
@@ -56,6 +57,8 @@ class Request:
     sampling: Optional[SamplingConfig] = None   # None = executor default
     lora_id: int = 0                            # 0 = base model
     min_new_tokens: int = 0
+    bad_words: Optional[List[List[int]]] = None  # banned token sequences
+    logits_processor: Optional[str] = None       # name registered on Executor
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     submit_time: float = dataclasses.field(default_factory=time.perf_counter)
@@ -80,6 +83,7 @@ class Executor:
                  sampling: SamplingConfig = SamplingConfig(),
                  sink_blocks: int = 0,
                  window_blocks: Optional[int] = None,
+                 logits_processors: Optional[Dict[str, object]] = None,
                  seed: int = 0):
         from ..ops._util import _on_tpu
         from ..quant.config import KVCacheQuantAlgo
@@ -132,6 +136,21 @@ class Executor:
         self.finished: Dict[int, Request] = {}
         self.prefill_chunk = prefill_chunk
         self.prefill_lanes = max(1, min(prefill_lanes, max_batch))
+        # named in-graph logits processors (reference executor.pyi
+        # logits_post_processor registry): jax-traceable
+        # `(logits (B,V), history (B,W)) -> logits`, selected per request
+        # by name and applied to that request's lane only via a mask —
+        # the processor SET is static, so the compiled programs are fixed.
+        self._proc_names = tuple(sorted(logits_processors or ()))
+        self._proc_fns = tuple((logits_processors or {})[n]
+                               for n in self._proc_names)
+        proc_fns = self._proc_fns
+
+        def apply_procs(logits, history, proc_masks):
+            for pi, f in enumerate(proc_fns):   # static unroll
+                logits = jnp.where(proc_masks[pi][:, None],
+                                   f(logits, history), logits)
+            return logits
 
         cfg_s = cfg
         mb = self.max_blocks_per_seq
@@ -140,7 +159,7 @@ class Executor:
         def prefill_chunk_fn(params, tokens, state, block_table, block_pos,
                              start, length, key, samp, history,
                              suppress_token, suppress_flag, ostate,
-                             lora_ids):
+                             lora_ids, bad_words=None, proc_masks=None):
             """tokens (P, C): one chunk per lane starting at per-lane
             absolute position `start`; length (P,) = total valid tokens
             written after this chunk (0 disables a lane: all its page
@@ -157,32 +176,39 @@ class Executor:
             last = jnp.take_along_axis(
                 logits, jnp.clip(length - start - 1, 0, c - 1)[:, None, None],
                 axis=1)[:, 0]
+            if proc_masks is not None:
+                last = apply_procs(last, history, proc_masks)
             tok = sample_batched(last, key, samp, history=history,
                                  suppress_token=suppress_token,
-                                 suppress_flag=suppress_flag)
+                                 suppress_flag=suppress_flag,
+                                 bad_words=bad_words)
             return tok, state, new_ostate
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_fn(params, tokens, state, block_table, block_pos, lens,
                       key, samp, history, suppress_token, suppress_flag,
-                      lora_ids):
+                      lora_ids, bad_words=None, proc_masks=None):
             pos = lens[:, None].astype(jnp.int32)
             logits, state = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table,
                 jnp.maximum(lens + 1, 1),
                 block_pos=block_pos, window=win_tokens, sink=sink_tokens,
                 lora_ids=lora_ids)
-            next_tok = sample_batched(logits[:, 0], key, samp,
+            last = logits[:, 0]
+            if proc_masks is not None:
+                last = apply_procs(last, history, proc_masks)
+            next_tok = sample_batched(last, key, samp,
                                       history=history,
                                       suppress_token=suppress_token,
-                                      suppress_flag=suppress_flag)
+                                      suppress_flag=suppress_flag,
+                                      bad_words=bad_words)
             return next_tok, state
 
         def make_burst_fn(k: int):
             @functools.partial(jax.jit, donate_argnums=(2,))
             def burst_fn(params, tokens, state, block_table, block_pos,
                          lens, key, samp, history, sup_tok, min_left,
-                         lora_ids):
+                         lora_ids, bad_words=None, proc_masks=None):
                 def body(carry, _):
                     tokens, state, lens, key, history, min_left = carry
                     pos = lens[:, None].astype(jnp.int32)
@@ -192,10 +218,14 @@ class Executor:
                         window=win_tokens, sink=sink_tokens,
                         lora_ids=lora_ids)
                     key, sub = jax.random.split(key)
+                    last = logits[:, 0]
+                    if proc_masks is not None:
+                        last = apply_procs(last, history, proc_masks)
                     tok = sample_batched(
-                        logits[:, 0], sub, samp, history=history,
+                        last, sub, samp, history=history,
                         suppress_token=sup_tok,
-                        suppress_flag=(min_left > 0).astype(jnp.int32))
+                        suppress_flag=(min_left > 0).astype(jnp.int32),
+                        bad_words=bad_words)
                     history = jnp.concatenate(
                         [history[:, 1:], tok[:, None]], axis=1)
                     return (tok[:, None], state, lens + 1, key, history,
@@ -217,12 +247,18 @@ class Executor:
                sampling: Optional[SamplingConfig] = None,
                min_new_tokens: int = 0,
                lora_id: int = 0,
+               bad_words: Optional[Sequence[Sequence[int]]] = None,
+               logits_processor: Optional[str] = None,
                on_token=None) -> int:
         """Queue a request. `sampling` overrides the executor default for
         this request only (per-request SamplingConfig, reference
         bindings/executor.pyi Request.sampling_config). lora_id selects a
         runtime adapter attached via convert.lora.attach_lora (0 = base;
-        reference per-request LoraConfig / lora_manager). on_token(request,
+        reference per-request LoraConfig / lora_manager). bad_words are
+        token-id sequences this request may never emit (reference
+        Request.bad_words). logits_processor names an in-graph processor
+        registered at Executor construction, applied to this lane only
+        (reference Request.logits_post_processor_name). on_token(request,
         token) is called for every generated token (streaming)."""
         if len(prompt) + max_new_tokens > self.max_seq_len:
             raise ValueError(
@@ -233,10 +269,22 @@ class Executor:
         if lora_id and not self.has_lora:
             raise ValueError("lora_id set but no adapters attached "
                              "(convert.lora.attach_lora)")
+        if logits_processor is not None and \
+                logits_processor not in self._proc_names:
+            raise ValueError(f"unknown logits_processor {logits_processor!r};"
+                             f" registered: {list(self._proc_names)}")
+        if bad_words:
+            longest = max(len(w) for w in bad_words)
+            if longest - 1 > HISTORY_W:
+                raise ValueError(f"bad word of {longest} tokens exceeds the "
+                                 f"{HISTORY_W}-token match window")
         self.queue.append(Request(rid, list(prompt), max_new_tokens,
                                   eos_token_id, sampling=sampling,
                                   lora_id=lora_id,
                                   min_new_tokens=min_new_tokens,
+                                  bad_words=[list(w) for w in bad_words]
+                                  if bad_words else None,
+                                  logits_processor=logits_processor,
                                   on_token=on_token))
         return rid
 
@@ -301,6 +349,36 @@ class Executor:
             out[i, HISTORY_W - len(tail):] = tail
         return out
 
+    def _bad_words(self, reqs: Sequence[Optional[Request]]):
+        """(len(reqs), N, L) packed per-lane bad words, or None when no
+        lane has any — the common path keeps its bad-words-free compiled
+        program. N is bucketed to the next power of two so admissions with
+        similar word counts reuse one program."""
+        words = [r.bad_words for r in reqs if r is not None and r.bad_words]
+        if not words:
+            return None
+        n = 1 << (max(len(w) for w in words) - 1).bit_length()
+        lmax = max(2, max(len(t) for w in words for t in w))
+        out = np.full((len(reqs), n, lmax), BW_PAD, np.int32)
+        for i, r in enumerate(reqs):
+            if r is None or not r.bad_words:
+                continue
+            for j, t in enumerate(r.bad_words):
+                out[i, j, lmax - len(t):] = t
+        return jnp.asarray(out)
+
+    def _proc_masks(self, reqs: Sequence[Optional[Request]]):
+        """(num_procs, len(reqs)) bool lane masks, or None when no
+        processors are registered (masks for an empty registry would
+        still recompile the no-processor program)."""
+        if not self._proc_names:
+            return None
+        out = np.zeros((len(self._proc_names), len(reqs)), bool)
+        for i, r in enumerate(reqs):
+            if r is not None and r.logits_processor is not None:
+                out[self._proc_names.index(r.logits_processor), i] = True
+        return jnp.asarray(out)
+
     def _step_prefill(self) -> None:
         """Advance every in-flight prefill by one chunk (one batched call)."""
         if not self.prefilling:
@@ -333,14 +411,16 @@ class Executor:
         samp = batch_params(
             [r.sampling or self.sampling for r in lanes]
             + [None] * (p - len(lanes)))
+        padded = list(lanes) + [None] * (p - len(lanes))
         self.key, sub = jax.random.split(self.key)
         tok, self.state, new_ostate = self._prefill(
             self.params, jnp.asarray(tokens), self.state, jnp.asarray(table),
             jnp.asarray(bpos),
             jnp.asarray(start), jnp.asarray(length), sub, samp,
-            jnp.asarray(self._history(list(lanes) + [None] * (p - len(lanes)))),
+            jnp.asarray(self._history(padded)),
             jnp.asarray(sup_tok), jnp.asarray(sup_flag), self.ostate,
-            jnp.asarray(lora))
+            jnp.asarray(lora), bad_words=self._bad_words(padded),
+            proc_masks=self._proc_masks(padded))
         if self.ostate is not None:
             self.ostate = new_ostate
         tok_np = np.asarray(tok)
@@ -418,7 +498,8 @@ class Executor:
             jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
             jnp.asarray(sup_tok), jnp.asarray(sup_flag),
-            jnp.asarray(lora))
+            jnp.asarray(lora), bad_words=self._bad_words(self.slots),
+            proc_masks=self._proc_masks(self.slots))
         next_np = np.asarray(next_tok)
         for i, req in active:
             self._append_token(req, int(next_np[i]))
@@ -471,7 +552,9 @@ class Executor:
             self.params, jnp.asarray(tokens), self.state,
             jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
-            jnp.asarray(sup_tok), jnp.asarray(min_left), jnp.asarray(lora))
+            jnp.asarray(sup_tok), jnp.asarray(min_left), jnp.asarray(lora),
+            bad_words=self._bad_words(self.slots),
+            proc_masks=self._proc_masks(self.slots))
         toks_np = np.asarray(toks)
         produced = 0
         for i, req in active:

@@ -84,16 +84,18 @@ class GenerationSession:
             return last[:, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(2,),
-                           static_argnames=("sampling",))
+                           static_argnames=("sampling", "processors"))
         def _decode(params, tokens, cache, lens, key, sampling, history,
-                    suppress_token, suppress_flag):
+                    suppress_token, suppress_flag, bad_words=None,
+                    processors=()):
             b = tokens.shape[0]
             pos = lens[:, None].astype(jnp.int32)
             logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
                                             cache, lens + 1)
             next_tok = sample(logits[:, 0], key, sampling, history=history,
                               suppress_token=suppress_token,
-                              suppress_flag=suppress_flag)
+                              suppress_flag=suppress_flag,
+                              bad_words=bad_words, processors=processors)
             return next_tok, cache
 
         self._prefill = _prefill
@@ -107,16 +109,26 @@ class GenerationSession:
                  min_new_tokens: int = 0,
                  stop_sequences: Optional[Sequence[Sequence[int]]] = None,
                  num_beams: int = 1, length_penalty: float = 1.0,
+                 bad_words: Optional[Sequence[Sequence[int]]] = None,
+                 logits_processors: Sequence = (),
                  seed: int = 0) -> GenerationOutput:
         """Generate completions for a batch of token-id prompts.
 
         min_new_tokens bans eos until that many tokens exist (reference
         dynamic-decoder min_length); stop_sequences are token-id suffixes
-        that end a sequence (reference stop-words list). num_beams > 1
-        switches to deterministic beam search over the paged KV pool with
-        block sharing across beams (reference SamplingConfig.num_beams +
-        kv_cache_manager beam-width sharing); sampling/min_new_tokens/
-        stop_sequences do not apply there.
+        that end a sequence (reference stop-words list). bad_words are
+        token-id sequences that may never be generated (reference
+        bad-words list, generation.py dynamic decoder banBadWords): the
+        final token is masked whenever the preceding tokens match the tail
+        of the sequence. logits_processors are jax-traceable callables
+        `(logits (B,V), history (B,W)) -> logits` applied to raw logits
+        before sampling (reference per-request logits_post_processor,
+        executor.pyi LogitsPostProcessor); history is right-aligned,
+        -1-padded recent tokens. num_beams > 1 switches to deterministic
+        beam search over the paged KV pool with block sharing across beams
+        (reference SamplingConfig.num_beams + kv_cache_manager beam-width
+        sharing); sampling/min_new_tokens/stop_sequences do not apply
+        there.
         """
         if num_beams > 1:
             from .beam import paged_beam_search
@@ -150,8 +162,11 @@ class GenerationSession:
         history = np.full((b, w), -1, np.int32)
         for i, p in enumerate(prompts):
             tail = list(p)[-w:]
-            history[i, :len(tail)] = tail
+            history[i, w - len(tail):] = tail   # right-aligned, like decode
         eos_tok = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        from .sampler import pack_bad_words
+        bw = pack_bad_words(bad_words) if bad_words else None
+        procs = tuple(logits_processors)
 
         t0 = time.perf_counter()
         last_logits, cache = self._prefill(self.params, jnp.asarray(tokens),
@@ -160,7 +175,8 @@ class GenerationSession:
         key, sub = jax.random.split(key)
         cur = sample(last_logits, sub, sampling, history=jnp.asarray(history),
                      suppress_token=eos_tok,
-                     suppress_flag=jnp.int32(1 if min_new_tokens > 1 else 0))
+                     suppress_flag=jnp.int32(1 if min_new_tokens > 1 else 0),
+                     bad_words=bw, processors=procs)
         cur.block_until_ready()
         t1 = time.perf_counter()
 
@@ -197,7 +213,8 @@ class GenerationSession:
             ban = jnp.int32(1 if step + 1 <= min_new_tokens else 0)
             cur, cache = self._decode(self.params, cur[:, None], cache,
                                       cur_lens, sub, sampling,
-                                      jnp.asarray(history), eos_tok, ban)
+                                      jnp.asarray(history), eos_tok, ban,
+                                      bad_words=bw, processors=procs)
             cur_lens = cur_lens + 1
             generated[:, step] = np.asarray(cur)
             push_history(generated[:, step])

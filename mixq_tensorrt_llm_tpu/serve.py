@@ -6,7 +6,10 @@ ThreadingHTTPServer accepts POST /generate while one stepper thread drives
 Executor.step() — requests batch together automatically between steps.
 
   POST /generate  {"prompt": str | [int], "max_new_tokens": int,
-                   "eos": bool}                -> {"text", "tokens", "stats"}
+                   "eos": bool, "min_new_tokens": int,
+                   "temperature"/"top_k"/"top_p"/"greedy"/
+                   "repetition_penalty": sampling overrides,
+                   "bad_words": [str | [int]]} -> {"text", "tokens", "stats"}
   GET  /health                                 -> {"status": "ok", ...}
 
 Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
@@ -46,7 +49,9 @@ class InferenceServer:
                 time.sleep(0.005)
 
     def generate(self, prompt, max_new_tokens: int = 64,
-                 use_eos: bool = True, timeout: float = 600.0) -> dict:
+                 use_eos: bool = True, timeout: float = 600.0,
+                 sampling=None, min_new_tokens: int = 0,
+                 bad_words=None) -> dict:
         if isinstance(prompt, str):
             assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
             ids = self.llm.tokenizer(prompt)["input_ids"]
@@ -54,10 +59,18 @@ class InferenceServer:
             ids = list(prompt)
         eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
                if use_eos else None)
+        if bad_words:   # strings tokenize; token-id lists pass through
+            assert not any(isinstance(w, str) for w in bad_words) \
+                or self.llm.tokenizer is not None, "no tokenizer in checkpoint"
+            bad_words = [
+                self.llm.tokenizer(w, add_special_tokens=False)["input_ids"]
+                if isinstance(w, str) else list(w) for w in bad_words]
         ev = threading.Event()
         with self._lock:
             rid = self.executor.submit(ids, max_new_tokens=max_new_tokens,
-                                       eos_token_id=eos)
+                                       eos_token_id=eos, sampling=sampling,
+                                       min_new_tokens=min_new_tokens,
+                                       bad_words=bad_words)
             self._events[rid] = ev
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out")
@@ -113,10 +126,22 @@ def make_handler(server: InferenceServer):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                sampling = None
+                samp_keys = ("temperature", "top_k", "top_p", "greedy",
+                             "repetition_penalty")
+                if any(k in req for k in samp_keys):
+                    from .runtime.sampler import SamplingConfig
+                    over = {k: req[k] for k in samp_keys if k in req}
+                    # a sampling knob implies stochastic unless told not to
+                    over.setdefault("greedy", False)
+                    sampling = SamplingConfig(**over)
                 out = server.generate(
                     req.get("prompt", ""),
                     max_new_tokens=int(req.get("max_new_tokens", 64)),
-                    use_eos=bool(req.get("eos", True)))
+                    use_eos=bool(req.get("eos", True)),
+                    sampling=sampling,
+                    min_new_tokens=int(req.get("min_new_tokens", 0)),
+                    bad_words=req.get("bad_words"))
                 self._json(200, out)
             except (ValueError, KeyError, AssertionError) as e:
                 self._json(400, {"error": str(e)})

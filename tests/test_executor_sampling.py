@@ -112,6 +112,61 @@ def test_min_new_tokens_suppresses_eos(setup):
     assert first not in toks[:4]
 
 
+def test_per_request_bad_words(setup):
+    """A banned token never appears in the banning request but still may
+    appear in its batch-mate (per-lane packed bad words)."""
+    params, cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+    ex = Executor(params, cfg, seed=0, **kw)
+    probe = ex.submit([3, 1, 4], max_new_tokens=6)
+    tok = ex.run()[probe].generated[1]
+
+    ex2 = Executor(params, cfg, seed=0, **kw)
+    banned = ex2.submit([3, 1, 4], max_new_tokens=6, bad_words=[[tok]])
+    free = ex2.submit([3, 1, 4], max_new_tokens=6)
+    done = ex2.run()
+    assert tok not in done[banned].generated
+    assert tok in done[free].generated      # greedy twin still emits it
+
+
+def test_bad_words_survive_burst(setup):
+    """Burst decode (k steps per compiled call) honors bad words via the
+    in-graph history shift."""
+    params, cfg = setup
+    kw = dict(max_batch=1, max_seq_len=64, block_size=8, prefill_chunk=8)
+    ex = Executor(params, cfg, seed=0, **kw)
+    probe = ex.submit([3, 1, 4], max_new_tokens=8)
+    gen = ex.run(burst=4)[probe].generated
+    pair = gen[2:4]
+
+    ex2 = Executor(params, cfg, seed=0, **kw)
+    rid = ex2.submit([3, 1, 4], max_new_tokens=8, bad_words=[pair])
+    out = ex2.run(burst=4)[rid].generated
+    for a, b in zip(out, out[1:]):
+        assert [a, b] != pair
+
+
+def test_per_request_logits_processor(setup):
+    """Named processors apply only to the lanes that ask for them
+    (reference Request.logits_post_processor_name)."""
+    params, cfg = setup
+
+    def force9(logits, history):
+        return jnp.full_like(logits, -1e9).at[:, 9].set(0.0)
+
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8,
+              logits_processors={"force9": force9})
+    ex = Executor(params, cfg, seed=0, **kw)
+    forced = ex.submit([3, 1, 4], max_new_tokens=5, logits_processor="force9")
+    plain = ex.submit([3, 1, 4], max_new_tokens=5)
+    done = ex.run()
+    assert done[forced].generated == [9] * 5
+    assert done[plain].generated != [9] * 5
+
+    with pytest.raises(ValueError):
+        ex.submit([1], logits_processor="nope")
+
+
 def test_prefill_does_not_stall_decode(setup):
     """While a 4-chunk prompt prefills, an already-decoding request gains
     one token per step (inflight batching; reference context+gen fusion)."""

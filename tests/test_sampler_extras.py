@@ -12,8 +12,10 @@ import pytest
 from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
 from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
 from mixq_tensorrt_llm_tpu.runtime import GenerationSession, SamplingConfig
-from mixq_tensorrt_llm_tpu.runtime.sampler import (apply_repetition_penalty,
-                                                   sample)
+from mixq_tensorrt_llm_tpu.runtime.sampler import (BW_PAD,
+                                                   apply_repetition_penalty,
+                                                   ban_bad_words,
+                                                   pack_bad_words, sample)
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +71,76 @@ class TestEosControls:
         out = session.generate([[1, 2, 3]], 10, stop_sequences=[stop])
         got_gen = out.sequences[0][3:]
         assert got_gen == gen[:4]
+
+
+class TestBadWords:
+    def test_pack_right_aligns(self):
+        packed = np.asarray(pack_bad_words([[7], [1, 2, 3]]))
+        assert packed.shape == (2, 3)
+        assert packed[0].tolist() == [BW_PAD, BW_PAD, 7]
+        assert packed[1].tolist() == [1, 2, 3]
+
+    def test_single_token_always_banned(self):
+        logits = jnp.array([[0.0, 5.0, 1.0, 0.0]])
+        hist = jnp.full((1, 4), -1, jnp.int32)
+        out = np.asarray(ban_bad_words(logits, hist, pack_bad_words([[1]])))
+        assert out[0, 1] == -np.inf and out[0, 2] == 1.0
+
+    def test_multi_token_needs_prefix(self):
+        logits = jnp.zeros((2, 4))
+        # lane 0 history ends ...5, 3 ; lane 1 ends ...9
+        hist = jnp.array([[-1, -1, 5, 3], [-1, -1, -1, 9]], jnp.int32)
+        out = np.asarray(ban_bad_words(logits, hist,
+                                       pack_bad_words([[5, 3, 2]])))
+        assert out[0, 2] == -np.inf          # prefix 5,3 matched
+        assert np.isfinite(out[1]).all()     # lane 1: no match
+
+    def test_per_lane_words(self):
+        logits = jnp.zeros((2, 4))
+        hist = jnp.full((2, 4), -1, jnp.int32)
+        bw = jnp.stack([np.asarray(pack_bad_words([[1]])),
+                        np.full((1, 2), BW_PAD, np.int32)])   # lane 1: none
+        out = np.asarray(ban_bad_words(logits, hist, bw))
+        assert out[0, 1] == -np.inf
+        assert np.isfinite(out[1]).all()
+
+    def test_generation_never_emits_banned_token(self, session):
+        base = session.generate([[1, 2, 3]], 10).sequences[0][3:]
+        tok = base[1]
+        out = session.generate([[1, 2, 3]], 10,
+                               bad_words=[[tok]]).sequences[0][3:]
+        assert tok not in out
+
+    def test_generation_never_emits_banned_pair(self, session):
+        base = session.generate([[1, 2, 3]], 10).sequences[0][3:]
+        pair = base[1:3]
+        assert pair[0] != pair[1]   # a self-pair would still be bannable,
+        # but distinct ids make the adjacency check below unambiguous
+        out = session.generate([[1, 2, 3]], 12,
+                               bad_words=[pair]).sequences[0][3:]
+        assert pair[0] in out       # only the CONTINUATION is banned
+        for a, b in zip(out, out[1:]):
+            assert [a, b] != pair
+
+
+class TestLogitsProcessors:
+    def test_processor_forces_token(self, session):
+        def force7(logits, history):
+            return jnp.full_like(logits, -1e9).at[:, 7].set(0.0)
+        out = session.generate([[1, 2, 3]], 5,
+                               logits_processors=(force7,)).sequences[0][3:]
+        assert out == [7] * 5
+
+    def test_processor_sees_history(self, session):
+        # emit history[-1] + 1 every step: a counting processor proves the
+        # right-aligned history window reaches the processor each step
+        def count_up(logits, history):
+            nxt = (history[:, -1] + 1) % logits.shape[-1]
+            hot = jax.nn.one_hot(nxt, logits.shape[-1], dtype=logits.dtype)
+            return hot * 1e9 - 1e9 * (1 - hot)
+        out = session.generate([[1, 2, 3]], 5,
+                               logits_processors=(count_up,)).sequences[0]
+        assert out[3:] == [4, 5, 6, 7, 8]
 
 
 class TestMMLU:

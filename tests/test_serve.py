@@ -92,3 +92,16 @@ def test_bad_request(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "max_seq_len" in json.loads(e.read())["error"]
+
+
+def test_sampling_and_bad_words_fields(server):
+    base = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
+                          "eos": False})
+    tok = base["tokens"][1]
+    out = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
+                         "eos": False, "bad_words": [[tok]]})
+    assert tok not in out["tokens"]
+    # sampling knobs parse and run (greedy=False implied by temperature)
+    out2 = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
+                          "eos": False, "temperature": 2.0, "top_k": 20})
+    assert len(out2["tokens"]) == 6
