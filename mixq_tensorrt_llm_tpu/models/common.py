@@ -89,6 +89,9 @@ class ModelConfig:
     logit_scale: float = 1.0             # Cohere logit_scale; Granite
     #                                      1/logits_scaling
     residual_multiplier: float = 1.0     # Granite residual_multiplier
+    # --- DBRX axes
+    clip_qkv: float = 0.0                # clamp qkv projection to ±clip
+    #                                      (HF DbrxAttention clip_qkv); 0 = off
     # --- Qwen-MoE axes
     moe_norm_topk: bool = True           # renormalize kept top-k router
     #                                      mass (HF norm_topk_prob; Mixtral
@@ -562,6 +565,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
 
     # --- attention ---
     qkv = proj_in("qkv_proj", "input_norm", x, shared_h=shared_h)
+    if cfg.clip_qkv:
+        qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
     q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
     if cfg.qk_norm and cfg.qk_norm_flat:
         # OLMo-2: one RMSNorm across the whole flat q / k projection

@@ -256,6 +256,60 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             qkv_bias=True, attn_out_bias=True, mlp_bias=True,
             lm_head_bias=True, quant=quant)
 
+    if mt == "phi3":
+        # Phi-3 (HF Phi3Config): llama structure with HF-side fused qkv
+        # and gate_up weights, sliding window, no biases
+        if g("rope_scaling") is not None:
+            raise NotImplementedError(
+                "phi3 longrope scaling unsupported; use the base-context "
+                "checkpoint (rope_scaling=null)")
+        head_dim = hf_config.hidden_size // hf_config.num_attention_heads
+        return ModelConfig(
+            arch="phi3", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=g("num_key_value_heads")
+            or hf_config.num_attention_heads,
+            head_dim=head_dim,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            rope_theta=g("rope_theta", 10000.0),
+            rms_norm_eps=hf_config.rms_norm_eps,
+            rotary_dim=int(head_dim * g("partial_rotary_factor", 1.0))
+            if g("partial_rotary_factor", 1.0) != 1.0 else 0,
+            sliding_window=g("sliding_window", 0) or 0,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
+    if mt == "dbrx":
+        # DBRX (HF DbrxConfig): nested attn/ffn configs, fused Wqkv with
+        # ±clip_qkv clamp, bias-free LayerNorms, 16-expert top-4 GLU MoE
+        # with p=1 router renormalization (same math as Mixtral renorm)
+        ac, fc = hf_config.attn_config, hf_config.ffn_config
+        act = getattr(fc, "ffn_act_fn", None) or {}
+        assert act.get("name", "silu") == "silu", act
+        p = getattr(fc, "moe_normalize_expert_weights", 1.0)
+        assert p in (None, 1, 1.0), \
+            f"only p=1 (sum) router renormalization supported, got {p}"
+        h = hf_config.n_heads
+        return ModelConfig(
+            arch="dbrx", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.d_model,
+            intermediate_size=fc.ffn_hidden_size,
+            num_layers=hf_config.n_layers, num_heads=h,
+            num_kv_heads=getattr(ac, "kv_n_heads", h),
+            head_dim=hf_config.d_model // h,
+            max_position_embeddings=hf_config.max_seq_len,
+            rope_theta=getattr(ac, "rope_theta", 10000.0),
+            rms_norm_eps=1e-5, norm_type="layernorm",
+            clip_qkv=getattr(ac, "clip_qkv", 0.0) or 0.0,
+            num_experts=fc.moe_num_experts,
+            top_k_experts=fc.moe_top_k,
+            moe_norm_topk=p is not None,
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            quant=quant)
+
     if mt == "gemma":
         return ModelConfig(
             arch="gemma", vocab_size=hf_config.vocab_size,
@@ -644,6 +698,38 @@ def _float_layer(cfg: ModelConfig, hf: Mapping, i: int) -> Dict:
             "down_proj": _lin(hf, p + "mlp.fc2"),
             "input_norm": _norm(hf, p + "input_layernorm"),
         }
+    if a == "phi3":
+        p = f"model.layers.{i}."
+        return {
+            # HF Phi3 ships qkv and gate_up already fused, in our ordering
+            # ([q|k|v] and [gate|up] contiguous on the out dim)
+            "qkv_proj": _lin(hf, p + "self_attn.qkv_proj"),
+            "o_proj": _lin(hf, p + "self_attn.o_proj"),
+            "gate_up_proj": _lin(hf, p + "mlp.gate_up_proj"),
+            "down_proj": _lin(hf, p + "mlp.down_proj"),
+            "input_norm": _norm(hf, p + "input_layernorm"),
+            "post_norm": _norm(hf, p + "post_attention_layernorm"),
+        }
+    if a == "dbrx":
+        p = f"transformer.blocks.{i}."
+        e, ffn = cfg.num_experts, cfg.intermediate_size
+        d = cfg.hidden_size
+        # DbrxExpertGLU stores w1/v1/w2 as flat (E*ffn, d) parameters;
+        # w1/v1 multiply as x @ w.T (-> transpose into kernel layout),
+        # w2 as (x1*x2) @ w2 (already kernel layout (ffn, d))
+        w1 = _arr(hf[p + "ffn.experts.mlp.w1"]).reshape(e, ffn, d)
+        v1 = _arr(hf[p + "ffn.experts.mlp.v1"]).reshape(e, ffn, d)
+        w2 = _arr(hf[p + "ffn.experts.mlp.w2"]).reshape(e, ffn, d)
+        return {
+            "qkv_proj": _lin(hf, p + "norm_attn_norm.attn.Wqkv"),
+            "o_proj": _lin(hf, p + "norm_attn_norm.attn.out_proj"),
+            "input_norm": _norm(hf, p + "norm_attn_norm.norm_1"),
+            "post_norm": _norm(hf, p + "norm_attn_norm.norm_2"),
+            "router_w": _t(hf[p + "ffn.router.layer.weight"]),
+            "experts_gate_up": jnp.concatenate(
+                [jnp.swapaxes(w1, 1, 2), jnp.swapaxes(v1, 1, 2)], axis=2),
+            "experts_down": w2,
+        }
     if a == "gemma":
         p = f"model.layers.{i}."
         fl = {
@@ -854,6 +940,9 @@ _TOPLEVEL = {
     "mpt": ("transformer.wte", None, None, "transformer.norm_f", None),
     "phi": ("model.embed_tokens", None, None, "model.final_layernorm",
             "lm_head"),
+    "phi3": ("model.embed_tokens", None, None, "model.norm", "lm_head"),
+    "dbrx": ("transformer.wte", None, None, "transformer.norm_f",
+             "lm_head"),
     "gemma": ("model.embed_tokens", None, None, "model.norm", None),
     "gemma2": ("model.embed_tokens", None, None, "model.norm", None),
     "qwen3": ("model.embed_tokens", None, None, "model.norm", "lm_head"),

@@ -30,6 +30,8 @@ SUPPORTED_ARCHS = {
     "bloom": "families",
     "mpt": "families",
     "phi": "families",
+    "phi3": "families",
+    "dbrx": "families",
     "gemma": "families",
     "gemma2": "families",
     "qwen3": "families",

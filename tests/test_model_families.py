@@ -224,6 +224,29 @@ def _qwen3_moe():
         attn_implementation="eager")
 
 
+def _phi3():
+    from transformers import Phi3Config, Phi3ForCausalLM
+    return Phi3ForCausalLM, Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=4,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2, attn_implementation="eager")
+
+
+def _dbrx():
+    from transformers import DbrxConfig, DbrxForCausalLM
+    return DbrxForCausalLM, DbrxConfig(
+        vocab_size=256, d_model=64, n_heads=4, n_layers=2, max_seq_len=64,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 0.4,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0,
+                    "moe_jitter_eps": None,
+                    "ffn_act_fn": {"name": "silu"}},
+        attn_implementation="eager")
+
+
 FAMILIES = {
     "opt": _opt, "gpt2": _gpt2, "gptj": _gptj, "gpt_neox": _gpt_neox,
     "falcon_mqa": _falcon_mqa, "falcon_gqa": _falcon_gqa, "bloom": _bloom,
@@ -231,6 +254,7 @@ FAMILIES = {
     "qwen3": _qwen3, "glm": _glm, "glm4": _glm4, "olmo2": _olmo2,
     "cohere": _cohere, "granite": _granite,
     "qwen2_moe": _qwen2_moe, "qwen3_moe": _qwen3_moe,
+    "phi3": _phi3, "dbrx": _dbrx,
     "gpt_bigcode": _gpt_bigcode, "starcoder2": _starcoder2,
     "stablelm": _stablelm,
 }
