@@ -75,6 +75,15 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
     if not cfg.tie_word_embeddings and "lm_head" not in params:
         missing.append("lm_head")
     layers = params.get("layers", {})
+    if cfg.arch == "mamba":
+        for mod in ("in_proj", "out_proj", "x_proj", "dt_proj", "norm",
+                    "conv_w", "A_log", "D"):
+            if mod not in layers:
+                missing.append(f"layers.{mod}")
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing required tensors: {missing}")
+        return
     if cfg.num_experts > 0:
         mods = ("qkv_proj", "o_proj", "input_norm", "post_norm")
         if "moe" not in layers:

@@ -92,6 +92,11 @@ class ModelConfig:
     # --- DBRX axes
     clip_qkv: float = 0.0                # clamp qkv projection to ±clip
     #                                      (HF DbrxAttention clip_qkv); 0 = off
+    # --- Mamba (selective SSM) axes; intermediate_size doubles as d_inner
+    ssm_state_size: int = 0              # d_state (N); 0 = not an SSM arch
+    conv_kernel: int = 4                 # depthwise causal conv width (K)
+    dt_rank: int = 0                     # low-rank dt projection width
+    use_conv_bias: bool = True
     # --- Qwen-MoE axes
     moe_norm_topk: bool = True           # renormalize kept top-k router
     #                                      mass (HF norm_topk_prob; Mixtral
@@ -171,6 +176,9 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
+    if cfg.arch == "mamba":   # recurrent state, O(1) in max_len
+        from . import mamba
+        return mamba.init_state(cfg, batch)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
         return KVCache(
@@ -774,6 +782,13 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     Returns (logits (B, S, vocab) float32, updated cache
     [, outlier_state][, stats][, hidden]).
     """
+    if cfg.arch == "mamba":
+        assert attn_mask is None and not collect_stats and not return_hidden \
+            and outlier_state is None and lora_ids is None, \
+            "option not supported for the SSM forward"
+        from . import mamba
+        return mamba.forward(params, cfg, tokens, write_pos, cache,
+                             kv_valid_len, full_prefill=full_prefill)
     x = _embed(params, cfg, tokens, write_pos)
     sin, cos, alibi = _positional_arrays(cfg, write_pos)
 
@@ -866,6 +881,10 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     window/sink: StreamingLLM runtime window in tokens (0 = model default)
     Returns (logits, updated PagedKVState).
     """
+    if cfg.arch == "mamba":
+        raise NotImplementedError(
+            "mamba state is O(1) per sequence — use GenerationSession "
+            "(dense path); the paged executor has nothing to page")
     from ..runtime.kv_cache import PagedKVState
     from ..quant import dynamic as qdyn
 

@@ -46,6 +46,7 @@ SUPPORTED_ARCHS = {
     "gpt_bigcode": "families",
     "starcoder2": "families",
     "stablelm": "families",
+    "mamba": "mamba",           # selective SSM (tensorrt_llm/models/mamba)
 }
 
 
@@ -57,6 +58,9 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()):
             f"unsupported model_type {mt!r}; supported: {sorted(SUPPORTED_ARCHS)}")
     if kind == "llama":
         return llama.config_from_hf(hf_config, quant)
+    if kind == "mamba":
+        from . import mamba
+        return mamba.config_from_hf(hf_config, quant)
     from . import families
     return families.config_from_hf(hf_config, quant)
 
@@ -65,6 +69,9 @@ def params_from_hf(cfg, hf_state, act_scales=None):
     """Dispatch the HF-weights conversion by cfg.arch."""
     if cfg.arch in ("llama", "mistral", "mixtral", "qwen2", "aquila"):
         return llama.params_from_hf(cfg, hf_state, act_scales)
+    if cfg.arch == "mamba":
+        from . import mamba
+        return mamba.params_from_hf(cfg, hf_state, act_scales)
     from . import families
     return families.params_from_hf(cfg, hf_state, act_scales)
 
@@ -73,5 +80,8 @@ def init_random_params(cfg, key, act_scales=None):
     """Random-weight init honoring every config axis (tests/benches)."""
     if cfg.arch in ("llama", "mistral", "mixtral", "qwen2", "aquila"):
         return llama.init_random_params(cfg, key, act_scales)
+    if cfg.arch == "mamba":
+        from . import mamba
+        return mamba.init_random_params(cfg, key, act_scales)
     from . import families
     return families.init_random_params(cfg, key, act_scales)
