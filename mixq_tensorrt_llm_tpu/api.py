@@ -160,6 +160,21 @@ class LLM:
                                max_new_tokens, choices=choices,
                                max_seq_len=self.max_seq_len)
 
+    def generate_redrafter(self, drafter, prompt: Sequence[int],
+                           max_new_tokens: int = 64, num_beams: int = 4,
+                           draft_len: int = 4):
+        """Greedy ReDrafter decoding: a recurrent drafter proposes
+        num_beams beams of draft_len tokens, verified in ONE forward over
+        a static beam block (reference models/redrafter +
+        runtime/redrafter_utils.py). Output equals plain greedy decode;
+        a trained drafter raises tokens/step.
+        Returns (tokens, ReDrafterStats)."""
+        from .runtime.redrafter import redrafter_generate
+        return redrafter_generate(self.params, self.cfg, drafter,
+                                  list(prompt), max_new_tokens,
+                                  num_beams=num_beams, draft_len=draft_len,
+                                  max_seq_len=self.max_seq_len)
+
     def make_executor(self, max_batch: int = 8, block_size: int = 64,
                       prefill_chunk: int = 256,
                       sampling: SamplingConfig = SamplingConfig(),
