@@ -156,6 +156,23 @@ class BlockManager:
         sb.length = target
         return sb
 
+    def rewind(self, seq_id: int, new_length: int) -> SequenceBlocks:
+        """Shrink a sequence to new_length tokens, freeing tail blocks that
+        fall entirely beyond it (draft-token rewind, reference
+        runtime/kv_cache_manager.py KVCacheUpdater:380-464). Windowed
+        managers cannot rewind across recycled pages."""
+        assert self.window_blocks is None, "rewind unsupported with windows"
+        sb = self.seqs[seq_id]
+        assert 1 <= new_length <= sb.length, (new_length, sb.length)
+        while len(sb.blocks) > 1 and sb.bases[-1] >= new_length:
+            b = sb.blocks.pop()
+            sb.bases.pop()
+            self.ref_counts[b] -= 1
+            if self.ref_counts[b] == 0:
+                self.free.append(b)
+        sb.length = new_length
+        return sb
+
     def free_sequence(self, seq_id: int) -> None:
         sb = self.seqs.pop(seq_id)
         for b in sb.blocks:

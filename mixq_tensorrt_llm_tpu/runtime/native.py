@@ -61,6 +61,8 @@ def load_library() -> ctypes.CDLL:
         lib.mixq_bm_extend.argtypes = [ctypes.c_int64] * 3
         lib.mixq_bm_free_sequence.restype = ctypes.c_int32
         lib.mixq_bm_free_sequence.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.mixq_bm_rewind.restype = ctypes.c_int32
+        lib.mixq_bm_rewind.argtypes = [ctypes.c_int64] * 3
         lib.mixq_bm_fork.restype = ctypes.c_int32
         lib.mixq_bm_fork.argtypes = [ctypes.c_int64] * 3
         lib.mixq_bm_block_table.restype = ctypes.c_int32
@@ -90,7 +92,8 @@ def native_available() -> bool:
 
 
 _ERR = {-1: "unknown handle", -2: "unknown sequence", -3: "pool exhausted",
-        -4: "sequence exists", -5: "table overflow"}
+        -4: "sequence exists", -5: "table overflow",
+        -7: "rewind unsupported with windows", -8: "bad rewind length"}
 
 
 def _check(code: int, op: str) -> None:
@@ -142,6 +145,12 @@ class NativeBlockManager:
         if code == -3:
             raise RuntimeError("KV pool exhausted during decode")
         _check(code, "extend")
+
+    def rewind(self, seq_id: int, new_length: int) -> None:
+        """Shrink to new_length tokens, freeing tail blocks beyond it
+        (draft-token rewind; reference KVCacheUpdater)."""
+        _check(self._lib.mixq_bm_rewind(self._h, seq_id, new_length),
+               "rewind")
 
     def free_sequence(self, seq_id: int) -> None:
         _check(self._lib.mixq_bm_free_sequence(self._h, seq_id),

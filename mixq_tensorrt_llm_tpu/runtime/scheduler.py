@@ -117,6 +117,7 @@ class Executor:
         # stay absolute via the block_pos tables.
         win_tokens = (window_blocks * block_size) if window_blocks else 0
         sink_tokens = sink_blocks * block_size
+        self._win_tokens, self._sink_tokens = win_tokens, sink_tokens
         self.sampling = sampling
         self.key = jax.random.PRNGKey(seed)
         # runtime-adaptive outliers (reference PyTorch-path MixQ,
@@ -240,6 +241,159 @@ class Executor:
         self._decode = decode_fn
         self._make_burst = make_burst_fn
         self._burst_fns = {}
+        self._spec_fns = {}     # (id(draft_cfg), gamma) -> jitted fns
+
+    # ------------------------------------------------------------------
+    def _make_spec_fns(self, draft_cfg: ModelConfig, gamma: int):
+        """Jitted programs for in-flight speculative decoding."""
+        cfg_s, win_tokens, sink_tokens = (self.cfg, self._win_tokens,
+                                          self._sink_tokens)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def draft_prefill(dp, tokens, dcache, lens):
+            b, s = tokens.shape
+            pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+            _, dcache = mcommon.forward(dp, draft_cfg, tokens, pos, dcache,
+                                        lens, full_prefill=True)
+            return dcache
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def draft_propose(dp, dcache, tok, pos):
+            """Greedy-chain gamma draft tokens in ONE compiled call.
+
+            tok (B,) = newest committed token per lane; pos (B,) its
+            position. Returns proposals (B, gamma) and the advanced cache.
+            """
+            def body(carry, _):
+                tok, cache, pos = carry
+                logits, cache = mcommon.forward(
+                    dp, draft_cfg, tok[:, None], pos[:, None], cache,
+                    pos + 1)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), nxt
+            (_, dcache, _), toks = jax.lax.scan(
+                body, (tok, dcache, pos), None, length=gamma)
+            return jnp.moveaxis(toks, 0, 1), dcache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def spec_verify(params, rows, state, table, bpos, start, length,
+                        lora_ids):
+            """Target forward over [committed token | gamma drafts]: one
+            chunk of gamma+1 rows per lane (the scatter write path absorbs
+            the unaligned start; reference verifies drafts inside the
+            engine and rewinds via KVCacheUpdater)."""
+            g1 = rows.shape[1]
+            pos = start[:, None] + jnp.arange(g1, dtype=jnp.int32)[None, :]
+            logits, state = mcommon.forward_paged(
+                params, cfg_s, rows, pos, state, table, length,
+                block_pos=bpos, window=win_tokens, sink=sink_tokens,
+                lora_ids=lora_ids)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
+
+        return draft_prefill, draft_propose, spec_verify
+
+    def run_speculative(self, draft_params, draft_cfg: ModelConfig,
+                        gamma: int = 4) -> Dict[int, Request]:
+        """Drive all submitted work with in-flight speculative decoding
+        (reference: the C++ executor's draft-token path — external draft
+        model proposals verified in the target engine, rejected KV rewound
+        via KVCacheUpdater, kv_cache_manager.py:380-464).
+
+        The draft model runs a dense cache batched over the executor's
+        lanes; each round is two compiled calls (gamma-step greedy draft
+        scan + one (gamma+1)-row target verify) regardless of batch or
+        acceptance. Greedy requests only — outputs equal Executor.run().
+        Admission/prefill of queued requests happens through normal
+        step()s first; lanes that finish mid-flight become masked zombies
+        (length 0 -> trash writes) until the batch drains.
+        """
+        assert gamma >= 1 and gamma + 1 < self.block_size, \
+            "gamma+1 must stay below the page size (unaligned chunk rows)"
+        assert not self.bm.window_blocks, \
+            "speculative rewind unsupported with windowed KV"
+        assert self.ostate is None, \
+            "speculative mode with dynamic outliers not supported"
+        while self.queue or self.prefilling:
+            self.step()
+        if self.num_active == 0:
+            return self.finished
+        for r in self.slots:
+            if r is not None:
+                assert (r.sampling or self.sampling).is_greedy, \
+                    "speculative decoding is greedy-only"
+                assert not r.bad_words and r.logits_processor is None, \
+                    "per-request logits controls unsupported in spec mode"
+
+        key = (id(draft_cfg), gamma)
+        if key not in self._spec_fns:
+            self._spec_fns[key] = self._make_spec_fns(draft_cfg, gamma)
+        draft_prefill, draft_propose, spec_verify = self._spec_fns[key]
+
+        b = self.max_batch
+        dcache = mcommon.init_kv_cache(draft_cfg, b, self.max_seq_len)
+        # prefill the draft with every lane's committed tokens EXCEPT the
+        # newest (the round feeds it, mirroring the target convention)
+        seqs = [r.sequence if r is not None else [0]
+                for r in self.slots]
+        smax = max(len(s) - 1 for s in seqs)
+        bucket = max(8, 1 << (smax - 1).bit_length())
+        toks = np.zeros((b, bucket), np.int32)
+        lens = np.ones((b,), np.int32)
+        for i, s in enumerate(seqs):
+            if self.slots[i] is None:
+                continue
+            toks[i, :len(s) - 1] = s[:-1]
+            lens[i] = len(s) - 1
+        dcache = draft_prefill(draft_params, jnp.asarray(toks), dcache,
+                               jnp.asarray(lens))
+
+        g1 = gamma + 1
+        self.spec_rounds = 0
+        while self.num_active > 0:
+            self.spec_rounds += 1
+            active = [(i, r) for i, r in enumerate(self.slots)
+                      if r is not None]
+            tok0 = np.zeros((b,), np.int32)
+            pos0 = np.full((b,), self.max_seq_len - g1 - 1, np.int32)
+            length = np.zeros((b,), np.int32)
+            table = np.zeros((b, self.max_blocks_per_seq), np.int32)
+            bpos = np.full((b, self.max_blocks_per_seq), PAD_POS, np.int32)
+            lora = np.zeros((b,), np.int32)
+            for i, r in active:
+                ln = len(r.sequence)
+                tok0[i] = r.sequence[-1]
+                pos0[i] = ln - 1
+                self.bm.extend(r.req_id, g1)
+                length[i] = ln + gamma
+                table[i] = self.bm.block_table([r.req_id],
+                                               self.max_blocks_per_seq)[0]
+                bpos[i] = self.bm.block_pos([r.req_id],
+                                            self.max_blocks_per_seq)[0]
+                lora[i] = r.lora_id
+            props, dcache = draft_propose(draft_params, dcache,
+                                          jnp.asarray(tok0),
+                                          jnp.asarray(pos0))
+            props_np = np.asarray(props)
+            rows = np.concatenate([tok0[:, None], props_np], axis=1)
+            preds, self.state = spec_verify(
+                self.params, jnp.asarray(rows), self.state,
+                jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(pos0),
+                jnp.asarray(length), jnp.asarray(lora))
+            preds_np = np.asarray(preds)
+            for i, r in active:
+                m = 0
+                while m < gamma and props_np[i, m] == preds_np[i, m]:
+                    m += 1
+                accepted = list(props_np[i, :m]) + [preds_np[i, m]]
+                for t in accepted:
+                    if r.done:
+                        break
+                    self._append_token(r, int(t))
+                if not r.done:
+                    # manager rest-state convention: the newest token's
+                    # page is allocated by the NEXT round's extend
+                    self.bm.rewind(r.req_id, len(r.sequence) - 1)
+        return self.finished
 
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,

@@ -152,6 +152,29 @@ int32_t mixq_bm_extend(int64_t h, int64_t seq_id, int64_t new_tokens) {
   return 0;
 }
 
+// Shrink to new_length tokens, freeing tail blocks entirely beyond it
+// (draft-token rewind, reference kv_cache_manager.py KVCacheUpdater).
+// 0 success; -1 unknown handle; -2 unknown seq; -7 windowed manager
+// (cannot rewind across recycled pages); -8 bad length.
+int32_t mixq_bm_rewind(int64_t h, int64_t seq_id, int64_t new_length) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  if (m->window_blocks >= 0) return -7;
+  Sequence& s = it->second;
+  if (new_length < 1 || new_length > s.length) return -8;
+  while (s.blocks.size() > 1 && s.bases.back() >= new_length) {
+    int32_t b = s.blocks.back();
+    s.blocks.pop_back();
+    s.bases.pop_back();
+    if (--m->ref_counts[b] == 0) m->free_list.push_back(b);
+  }
+  s.length = new_length;
+  return 0;
+}
+
 int32_t mixq_bm_free_sequence(int64_t h, int64_t seq_id) {
   std::lock_guard<std::mutex> lock(g_mu);
   Manager* m = get(h);
