@@ -75,6 +75,19 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
     if not cfg.tie_word_embeddings and "lm_head" not in params:
         missing.append("lm_head")
     layers = params.get("layers", {})
+    if cfg.arch == "recurrentgemma":
+        for grp, mods in (("per_pos", ("temporal_norm", "channel_norm",
+                                       "gate_up_proj", "down_proj")),
+                          ("att", ("qkv_proj", "o_proj")),
+                          ("rec", ("linear_x", "linear_y", "linear_out",
+                                   "conv_w", "recurrent_param"))):
+            for mod in mods:
+                if mod not in params.get(grp, {}):
+                    missing.append(f"{grp}.{mod}")
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing required tensors: {missing}")
+        return
     if cfg.arch == "mamba":
         for mod in ("in_proj", "out_proj", "x_proj", "dt_proj", "norm",
                     "conv_w", "A_log", "D"):

@@ -179,6 +179,9 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
     if cfg.arch == "mamba":   # recurrent state, O(1) in max_len
         from . import mamba
         return mamba.init_state(cfg, batch)
+    if cfg.arch == "recurrentgemma":
+        from . import recurrentgemma
+        return recurrentgemma.init_state(cfg, batch, max_len)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
         return KVCache(
@@ -782,13 +785,14 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     Returns (logits (B, S, vocab) float32, updated cache
     [, outlier_state][, stats][, hidden]).
     """
-    if cfg.arch == "mamba":
+    if cfg.arch in ("mamba", "recurrentgemma"):
         assert attn_mask is None and not collect_stats and not return_hidden \
             and outlier_state is None and lora_ids is None, \
-            "option not supported for the SSM forward"
-        from . import mamba
-        return mamba.forward(params, cfg, tokens, write_pos, cache,
-                             kv_valid_len, full_prefill=full_prefill)
+            "option not supported for the recurrent-state forward"
+        from . import mamba, recurrentgemma
+        mod = mamba if cfg.arch == "mamba" else recurrentgemma
+        return mod.forward(params, cfg, tokens, write_pos, cache,
+                           kv_valid_len, full_prefill=full_prefill)
     x = _embed(params, cfg, tokens, write_pos)
     sin, cos, alibi = _positional_arrays(cfg, write_pos)
 

@@ -47,6 +47,7 @@ SUPPORTED_ARCHS = {
     "starcoder2": "families",
     "stablelm": "families",
     "mamba": "mamba",           # selective SSM (tensorrt_llm/models/mamba)
+    "recurrent_gemma": "recurrentgemma",   # Griffin hybrid
 }
 
 
@@ -61,6 +62,9 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()):
     if kind == "mamba":
         from . import mamba
         return mamba.config_from_hf(hf_config, quant)
+    if kind == "recurrentgemma":
+        from . import recurrentgemma
+        return recurrentgemma.config_from_hf(hf_config, quant)
     from . import families
     return families.config_from_hf(hf_config, quant)
 
@@ -72,6 +76,9 @@ def params_from_hf(cfg, hf_state, act_scales=None):
     if cfg.arch == "mamba":
         from . import mamba
         return mamba.params_from_hf(cfg, hf_state, act_scales)
+    if cfg.arch == "recurrentgemma":
+        from . import recurrentgemma
+        return recurrentgemma.params_from_hf(cfg, hf_state, act_scales)
     from . import families
     return families.params_from_hf(cfg, hf_state, act_scales)
 
@@ -83,5 +90,8 @@ def init_random_params(cfg, key, act_scales=None):
     if cfg.arch == "mamba":
         from . import mamba
         return mamba.init_random_params(cfg, key, act_scales)
+    if cfg.arch == "recurrentgemma":
+        from . import recurrentgemma
+        return recurrentgemma.init_random_params(cfg, key, act_scales)
     from . import families
     return families.init_random_params(cfg, key, act_scales)
