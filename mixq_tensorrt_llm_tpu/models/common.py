@@ -410,6 +410,18 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                 block_table, kv_valid_len, scale=scale,
                 block_pos=block_pos, window=window, sink=sink)
             return out[:, None].astype(q.dtype), new_caches
+        if 1 < q.shape[1] <= 8:
+            # small verify chunks (speculative decoding's gamma+1 rows):
+            # queries ride the decode kernel's row axis with per-row
+            # causal positions — no pool materialization for a handful
+            # of rows (the 128-row prefill tile would waste 94%+)
+            from ..ops.paged_attention import paged_verify_attention
+            out = paged_verify_attention(
+                q, new_caches["k"], new_caches["v"],
+                new_caches.get("k_scale"), new_caches.get("v_scale"),
+                block_table, kv_valid_len, write_pos[:, 0],
+                scale=scale, block_pos=block_pos, window=window, sink=sink)
+            return out.astype(q.dtype), new_caches
         if q.shape[1] % 128 == 0:
             # chunked prefill: flash over the block-table pages — never
             # materializes a (B, MB*BS, H, D) cache view (round-1 VERDICT

@@ -67,15 +67,19 @@ def _mask_positions(pos_kv, pos_q, window: int, sink: int):
 # decode (q_len == 1)
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(table_ref, bpos_ref, lens_ref,          # scalar prefetch
+def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
                    q_ref, k_ref, v_ref, ks_ref, vs_ref,    # inputs
                    out_ref,                                # output
                    acc_ref, m_ref, l_ref,
-                   *, bs, hkv, g, scale, quantized, window, sink):
+                   *, bs, hkv, g, scale, quantized, window, sink, s=1):
+    """s == 1 is the decode hot path; s > 1 (small verify chunks —
+    speculative decoding's gamma+1 rows) flattens queries onto the row
+    axis as (S, Hq) with per-row causal positions qstart + row//Hq."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
     hq = hkv * g
+    rows = s * hq
 
     @pl.when(j == 0)
     def _():
@@ -91,21 +95,23 @@ def _decode_kernel(table_ref, bpos_ref, lens_ref,          # scalar prefetch
     # pipeline elides the re-fetch (same index -> no DMA)
     @pl.when(base < seq_len)
     def _():
-        # (Hq, Hkv*BS) all-pairs logits in one MXU dot; both operands keep
-        # D on lanes (k2 rows are page entries, flattened outside)
+        # (S*Hq, Hkv*BS) all-pairs logits in one MXU dot; both operands
+        # keep D on lanes (k2 rows are page entries, flattened outside)
         k2 = k_ref[0].astype(jnp.bfloat16)                 # (Hkv*BS, D)
         q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
         logits = jax.lax.dot_general(
             q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (Hq, Hkv*BS)
+            preferred_element_type=jnp.float32)          # (S*Hq, Hkv*BS)
         if quantized:
             logits = logits * ks_ref[0].astype(jnp.float32)  # (1, Hkv*BS)
 
-        row_h = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv * bs), 0) // g
-        col = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv * bs), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, hkv * bs), 0)
+        row_h = (row % hq) // g
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, hkv * bs), 1)
         pos = base + col % bs
-        keep = (row_h == col // bs) & (pos < seq_len) & \
-            _mask_positions(pos, seq_len - 1, window, sink)
+        qpos = qstart_ref[b] + row // hq    # == seq_len - 1 when s == 1
+        keep = (row_h == col // bs) & \
+            _mask_positions(pos, qpos, window, sink)
         logits = jnp.where(keep, logits, NEG_INF)
 
         m_prev = _lane_stat(m_ref)                         # (Hq, 1)
@@ -148,10 +154,42 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     pages slice cleanly on lanes; interpret mode has no such constraint.
     block_pos defaults to j*BS (non-windowed layouts).
     """
+    return _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
+                               block_table, lens, lens - 1, scale, 1,
+                               block_pos=block_pos, window=window,
+                               sink=sink, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
+                                             "interpret"))
+def paged_verify_attention(q, k_pages, v_pages, k_scale, v_scale,
+                           block_table, lens, qstart, scale: float,
+                           block_pos=None, window: int = 0, sink: int = 0,
+                           interpret=None):
+    """Small-q causal attention over the paged pool: q (B, S, Hq, D) with
+    queries at absolute positions qstart .. qstart+S-1 -> (B, S, Hq, D).
+
+    The speculative-verify path (gamma+1 draft rows per lane, reference
+    executor draft-token verification): S is far below the prefill
+    kernel's 128-row tile, so the rows ride the DECODE kernel's row axis
+    as (S, Hq) with per-row causal positions — no pool materialization."""
+    b, s, hq, d = q.shape
+    out = _paged_mq_attention(q.reshape(b, s * hq, d), k_pages, v_pages,
+                              k_scale, v_scale, block_table, lens, qstart,
+                              scale, s, block_pos=block_pos, window=window,
+                              sink=sink, interpret=interpret)
+    return out.reshape(b, s, hq, d)
+
+
+def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
+                        block_table, lens, qstart, scale: float, s: int,
+                        block_pos=None, window: int = 0, sink: int = 0,
+                        interpret=None):
     interpret = resolve_interpret(interpret)
-    b, hq, d = q.shape
+    b, rows, d = q.shape
     nb, hkv, bs, _ = k_pages.shape
     mb = block_table.shape[1]
+    hq = rows // s
     g = hq // hkv
     quantized = k_scale is not None
     if not interpret and quantized:
@@ -177,42 +215,48 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     vs2 = v_scale.reshape(nb, 1, hkv * bs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, mb),
         in_specs=[
-            pl.BlockSpec((1, hq, d),
-                         lambda i, j, table, bpos, lens: (i, 0, 0)),
+            pl.BlockSpec((1, rows, d),
+                         lambda i, j, table, bpos, lens, qs: (i, 0, 0)),
             pl.BlockSpec((1, hkv * bs, d),
-                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+                         lambda i, j, table, bpos, lens, qs:
+                         (table[i, j], 0, 0)),
             pl.BlockSpec((1, hkv * bs, d),
-                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+                         lambda i, j, table, bpos, lens, qs:
+                         (table[i, j], 0, 0)),
             pl.BlockSpec((1, 1, hkv * bs),
-                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+                         lambda i, j, table, bpos, lens, qs:
+                         (table[i, j], 0, 0)),
             pl.BlockSpec((1, 1, hkv * bs),
-                         lambda i, j, table, bpos, lens: (table[i, j], 0, 0)),
+                         lambda i, j, table, bpos, lens, qs:
+                         (table[i, j], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hq, d),
-                               lambda i, j, table, bpos, lens: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, rows, d),
+                               lambda i, j, table, bpos, lens, qs:
+                               (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hq, d), jnp.float32),
-            pltpu.VMEM((hq, 128), jnp.float32),   # m (running max, lanes-bcast)
-            pltpu.VMEM((hq, 128), jnp.float32),   # l (running denom)
+            pltpu.VMEM((rows, d), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),  # m (running max, lanes-bcast)
+            pltpu.VMEM((rows, 128), jnp.float32),  # l (running denom)
         ],
     )
 
     kernel = functools.partial(_decode_kernel, bs=bs, hkv=hkv, g=g,
                                scale=scale, quantized=quantized,
-                               window=window, sink=sink)
+                               window=window, sink=sink, s=s)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, rows, d), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_table, block_pos, lens, q, k2, v2, ks2, vs2)
+    )(block_table, block_pos, lens, qstart.astype(jnp.int32),
+      q, k2, v2, ks2, vs2)
     return out
 
 

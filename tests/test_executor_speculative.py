@@ -132,3 +132,28 @@ def test_rejects_stochastic_and_windowed(setup):
     ex.submit([1, 2, 3], max_new_tokens=4)
     with pytest.raises(AssertionError, match="greedy"):
         ex.run_speculative(draft_params, draft_cfg, gamma=2)
+
+
+def test_verify_kernel_path_matches_fallback(setup, monkeypatch):
+    """Force the paged-kernel branch on CPU (interpret-mode Pallas): the
+    small-q verify kernel must reproduce the gather-fallback outputs
+    through the full run_speculative loop."""
+    params, cfg, draft_params, draft_cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+
+    ex = Executor(params, cfg, seed=0, **kw)
+    a = ex.submit([3, 1, 4], max_new_tokens=8)
+    b = ex.submit([2, 7, 7], max_new_tokens=6)
+    want = ex.run_speculative(draft_params, draft_cfg, gamma=3)
+    want = {a: want[a].generated, b: want[b].generated}
+
+    import mixq_tensorrt_llm_tpu.models.common as mcommon
+    monkeypatch.setattr(mcommon, "_use_paged_kernel", lambda: True)
+    # decode/prefill kernels also engage; block_size 8 < 128 is fine
+    # un-quantized and in interpret mode
+    ex2 = Executor(params, cfg, seed=0, **kw)
+    a2 = ex2.submit([3, 1, 4], max_new_tokens=8)
+    b2 = ex2.submit([2, 7, 7], max_new_tokens=6)
+    done = ex2.run_speculative(draft_params, draft_cfg, gamma=3)
+    assert done[a2].generated == want[a]
+    assert done[b2].generated == want[b]

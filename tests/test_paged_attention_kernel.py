@@ -89,3 +89,54 @@ class TestPagedDecodeAttention:
         np.testing.assert_allclose(np.asarray(got[0], np.float32),
                                    np.repeat(want, 1, axis=0), rtol=2e-2,
                                    atol=2e-2)
+
+
+class TestPagedVerifyAttention:
+    """Small-q verify kernel (speculative gamma+1 rows) vs gather+mask."""
+
+    def _reference(self, q, k_pages, v_pages, sk, sv, table, lens, qstart,
+                   scale):
+        caches = {"k": k_pages, "v": v_pages}
+        if sk is not None:
+            caches.update(k_scale=sk, v_scale=sv)
+        from mixq_tensorrt_llm_tpu.runtime.kv_cache import paged_gather
+        k_all, v_all = paged_gather(caches, table, jnp.float32)
+        smax = k_all.shape[1]
+        s = q.shape[1]
+        kv_pos = jnp.arange(smax)[None, None, None, :]
+        qpos = (qstart[:, None] + jnp.arange(s)[None, :]
+                )[:, None, :, None]
+        mask = (kv_pos <= qpos) & (kv_pos < lens[:, None, None, None])
+        return ref.attention(q, k_all, v_all, mask=mask, scale=scale)
+
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_parity_vs_gather(self, quantized):
+        from mixq_tensorrt_llm_tpu.ops.paged_attention import (
+            paged_verify_attention)
+        b, s, hq, hkv, d, nb, bs, mb = 2, 5, 8, 2, 128, 16, 16, 4
+        lens = jnp.array([33, 17], jnp.int32)      # rows end at lens-1
+        qstart = lens - s
+        q1, k, v, sk, sv, table = build(3, b, hq, hkv, d, nb, bs, mb, lens,
+                                        quantized)
+        q = jax.random.normal(jax.random.PRNGKey(9), (b, s, hq, d),
+                              jnp.float32)
+        scale = d ** -0.5
+        want = self._reference(q, k, v, sk, sv, table, lens, qstart, scale)
+        got = paged_verify_attention(q, k, v, sk, sv, table, lens, qstart,
+                                     scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_s1_equals_decode_kernel(self):
+        from mixq_tensorrt_llm_tpu.ops.paged_attention import (
+            paged_verify_attention)
+        b, hq, hkv, d, nb, bs, mb = 2, 4, 2, 128, 8, 16, 3
+        lens = jnp.array([9, 30], jnp.int32)
+        q, k, v, sk, sv, table = build(4, b, hq, hkv, d, nb, bs, mb, lens,
+                                       False)
+        a = paged_decode_attention(q, k, v, sk, sv, table, lens, d ** -0.5,
+                                   interpret=True)
+        bb = paged_verify_attention(q[:, None], k, v, sk, sv, table, lens,
+                                    lens - 1, d ** -0.5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb[:, 0]))
