@@ -178,18 +178,24 @@ class LLM:
     def make_executor(self, max_batch: int = 8, block_size: int = 64,
                       prefill_chunk: int = 256,
                       sampling: SamplingConfig = SamplingConfig(),
-                      seed: int = 0):
+                      mesh=None, seed: int = 0, **kw):
         """Continuous-batching executor over this model (paged KV).
 
         ex = llm.make_executor(max_batch=16)
         rid = ex.submit(llm.tokenizer(text)["input_ids"], max_new_tokens=64)
         done = ex.run()
+
+        mesh: optional jax.sharding.Mesh with a 'tp' axis — weights and
+        paged KV pools are sharded and the serving step runs SPMD
+        (tensor-parallel serving; reference TP engines + NCCL allreduce).
+        Extra kwargs pass through to Executor (window_blocks,
+        logits_processors, ...).
         """
         from .runtime.scheduler import Executor
         return Executor(self.params, self.cfg, max_batch=max_batch,
                         max_seq_len=self.max_seq_len, block_size=block_size,
                         prefill_chunk=prefill_chunk, sampling=sampling,
-                        seed=seed)
+                        mesh=mesh, seed=seed, **kw)
 
     def evaluate_ppl(self, token_stream: Sequence[int], seq_len: int = 512,
                      batch_size: int = 8, max_blocks: Optional[int] = None):

@@ -369,7 +369,8 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
 def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                      block_table, write_pos, kv_valid_len,
                      block_pos=None, window: int = 0, sink: int = 0,
-                     alibi=None, layer_window: Optional[int] = None):
+                     alibi=None, layer_window: Optional[int] = None,
+                     use_kernels: bool = True):
     """Paged-cache attention: scatter new kv into the block pool, attend
     over the pages in place. Shapes as in _attention_with_cache but the
     cache is a (NB, Hkv, BS, H, D) pool addressed via block_table (B, MB)
@@ -396,9 +397,10 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     valid = write_pos < kv_valid_len[:, None]
     new_caches = pkv.paged_write(layer_caches, block_table, write_pos,
                                  new_k, new_v, quantized, valid=valid,
-                                 block_pos=block_pos)
+                                 block_pos=block_pos,
+                                 use_kernels=use_kernels)
 
-    if _use_paged_kernel() and alibi is None and not softcap:
+    if use_kernels and _use_paged_kernel() and alibi is None and not softcap:
         if q.shape[1] == 1:
             # decode: flash-decoding Pallas kernel reads pages in place
             # (int8 dequant in VMEM); the jnp gather path below would
@@ -476,7 +478,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                   collect_stats: bool = False, block_table=None,
                   block_pos=None, window: int = 0, sink: int = 0,
                   full_prefill: bool = False, alibi=None, lora_ids=None,
-                  layer_window: Optional[int] = None, attn_mask=None):
+                  layer_window: Optional[int] = None, attn_mask=None,
+                  use_kernels: bool = True):
     """One decoder block, config-driven across the zoo. x: (B, S, hidden).
 
     lora_ids (B,) int32 selects a stacked runtime-LoRA adapter per lane
@@ -613,7 +616,8 @@ def decoder_layer(cfg: ModelConfig, layer_params: Dict, x: jax.Array,
                                            block_pos=block_pos,
                                            window=window, sink=sink,
                                            alibi=alibi,
-                                           layer_window=layer_window)
+                                           layer_window=layer_window,
+                                           use_kernels=use_kernels)
     else:
         attn, new_cache = _attention_with_cache(cfg, q, k, v, layer_cache,
                                                 write_pos, kv_valid_len,
@@ -878,8 +882,12 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                   write_pos: jax.Array, paged_state, block_table: jax.Array,
                   kv_valid_len: jax.Array, block_pos=None,
                   window: int = 0, sink: int = 0,
-                  outlier_state: Optional[Dict] = None, lora_ids=None):
+                  outlier_state: Optional[Dict] = None, lora_ids=None,
+                  use_kernels: bool = True):
     """Decoder forward over the paged KV pool (continuous-batching path).
+    use_kernels=False routes attention/page-writes through the jnp paths —
+    required under GSPMD sharding (Pallas custom calls do not partition;
+    the Executor sets this when serving over a multi-device mesh).
 
     paged_state: runtime.kv_cache.PagedKVState — FLAT pool over layers:
                  layer l's block b is page row l*num_blocks + b. The pools
@@ -932,7 +940,8 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                                          block_pos=block_pos,
                                          window=window, sink=sink,
                                          alibi=alibi, lora_ids=lora_ids,
-                                         layer_window=cfg.layer_window(j))
+                                         layer_window=cfg.layer_window(j),
+                                         use_kernels=use_kernels)
             pools, no = qdyn.split_from_cache(new_cache)
             ostates.append(no)
         return (x, pools), _group_stack(ostates, p)

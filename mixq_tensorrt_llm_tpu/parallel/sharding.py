@@ -76,13 +76,36 @@ def param_specs(params: Dict) -> Dict:
     return specs
 
 
+def _strip_absent_axes(spec: P, mesh: Mesh) -> P:
+    """Drop axis names the mesh does not define (a tp-only serving mesh
+    has no 'pp'/'dp'; those dims fall back to replicated)."""
+    return P(*[a if a in mesh.axis_names else None for a in spec])
+
+
 def shard_params(params: Dict, mesh: Mesh) -> Dict:
     """Device_put the params pytree with its NamedShardings."""
     specs = param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _strip_absent_axes(s, mesh))),
         params, specs,
         is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"))
+
+
+def shard_paged_state(state, mesh: Mesh):
+    """Shard a runtime.kv_cache.PagedKVState over the mesh: the flat page
+    pools (L*NB, Hkv, BS, D) put their KV-HEAD axis on 'tp' — attention is
+    head-local, so decode/prefill math partitions with the qkv/o
+    projections and GSPMD only inserts the o_proj/down_proj psums."""
+    kv = NamedSharding(mesh, _strip_absent_axes(P(None, "tp", None, None),
+                                                mesh))
+    sc = NamedSharding(mesh, _strip_absent_axes(P(None, "tp", None), mesh))
+    return type(state)(
+        k=jax.device_put(state.k, kv), v=jax.device_put(state.v, kv),
+        k_scale=jax.device_put(state.k_scale, sc)
+        if state.k_scale is not None else None,
+        v_scale=jax.device_put(state.v_scale, sc)
+        if state.v_scale is not None else None)
 
 
 def token_spec() -> P:

@@ -251,7 +251,8 @@ class BlockManager:
 def paged_write(layer_caches, block_table: jax.Array,
                 write_pos: jax.Array, new_k: jax.Array, new_v: jax.Array,
                 quantized: bool, valid: Optional[jax.Array] = None,
-                block_pos: Optional[jax.Array] = None):
+                block_pos: Optional[jax.Array] = None,
+                use_kernels: bool = True):
     """Scatter new kv at absolute positions into the pool (one layer view).
 
     layer_caches: dict of flat pools {k (L*NB,H,BS,D), ...}
@@ -288,7 +289,8 @@ def paged_write(layer_caches, block_table: jax.Array,
     if new_k.shape[1] == 1:
         from ..ops._util import _on_tpu
         import os
-        if _on_tpu() and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0":
+        if use_kernels and _on_tpu() \
+                and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0":
             # decode: aliased Pallas RMW of the one target page per seq.
             # A dynamic_update_slice next to the Pallas attention read of
             # the same scan-carried pool makes XLA copy-protect the WHOLE
@@ -303,7 +305,8 @@ def paged_write(layer_caches, block_table: jax.Array,
                                    new_k[:, 0], new_v[:, 0], quantized)
     from ..ops._util import _on_tpu
     import os
-    if (_on_tpu() and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0"
+    if (use_kernels and _on_tpu()
+            and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0"
             and new_k.shape[1] % bs == 0):
         # chunked prefill: aliased Pallas RMW of the pages each BS-token
         # slab lands in. The XLA scatter below, sitting next to the Pallas

@@ -84,6 +84,7 @@ class Executor:
                  sink_blocks: int = 0,
                  window_blocks: Optional[int] = None,
                  logits_processors: Optional[Dict[str, object]] = None,
+                 mesh=None,
                  seed: int = 0):
         from ..ops._util import _on_tpu
         from ..quant.config import KVCacheQuantAlgo
@@ -97,6 +98,19 @@ class Executor:
         if _on_tpu() and prefill_chunk % block_size != 0:
             # the chunk-write kernel needs page-aligned chunks
             prefill_chunk = -(-prefill_chunk // block_size) * block_size
+        # multi-device serving: a jax.sharding.Mesh with a 'tp' axis (and
+        # optionally 'pp') shards the weights (parallel/sharding.py specs)
+        # and the paged pools (KV-head axis on 'tp'); GSPMD partitions the
+        # step programs and inserts the o_proj/down_proj psums. Pallas
+        # kernels do not partition under GSPMD, so a multi-device mesh
+        # routes attention/page-writes through the jnp paths
+        # (use_kernels=False below) — the XLA-compiled SPMD math.
+        self.mesh = mesh
+        use_k = mesh is None or mesh.size == 1
+        self._use_kernels = use_k
+        if mesh is not None:
+            from ..parallel import sharding as psh
+            params = psh.shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -105,6 +119,9 @@ class Executor:
         self.max_blocks_per_seq = -(-max_seq_len // block_size)
         num_blocks = num_blocks or (max_batch * self.max_blocks_per_seq + 1)
         self.state: PagedKVState = init_paged_kv(cfg, num_blocks, block_size)
+        if mesh is not None:
+            from ..parallel import sharding as psh
+            self.state = psh.shard_paged_state(self.state, mesh)
         from .native import make_block_manager
         import os as _os
         self.bm = make_block_manager(
@@ -129,7 +146,7 @@ class Executor:
             self.ostate = qdyn.init_model_state(params, cfg)
 
         self.has_lora = any(isinstance(m, dict) and "lora_A" in m
-                            for m in params["layers"].values())
+                            for m in params.get("layers", {}).values())
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.prefilling: List[Request] = []   # admitted, pages held, not decoding
@@ -171,7 +188,7 @@ class Executor:
             res = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table, length,
                 block_pos=block_pos, window=win_tokens, sink=sink_tokens,
-                outlier_state=ostate, lora_ids=lora_ids)
+                outlier_state=ostate, lora_ids=lora_ids, use_kernels=use_k)
             logits, state = res[0], res[1]
             new_ostate = res[2] if ostate else None
             last = jnp.take_along_axis(
@@ -194,7 +211,7 @@ class Executor:
                 params, cfg_s, tokens, pos, state, block_table,
                 jnp.maximum(lens + 1, 1),
                 block_pos=block_pos, window=win_tokens, sink=sink_tokens,
-                lora_ids=lora_ids)
+                lora_ids=lora_ids, use_kernels=use_k)
             last = logits[:, 0]
             if proc_masks is not None:
                 last = apply_procs(last, history, proc_masks)
@@ -217,7 +234,7 @@ class Executor:
                         params, cfg_s, tokens, pos, state, block_table,
                         jnp.maximum(lens + 1, 1), block_pos=block_pos,
                         window=win_tokens, sink=sink_tokens,
-                        lora_ids=lora_ids)
+                        lora_ids=lora_ids, use_kernels=use_k)
                     key, sub = jax.random.split(key)
                     last = logits[:, 0]
                     if proc_masks is not None:
@@ -287,7 +304,7 @@ class Executor:
             logits, state = mcommon.forward_paged(
                 params, cfg_s, rows, pos, state, table, length,
                 block_pos=bpos, window=win_tokens, sink=sink_tokens,
-                lora_ids=lora_ids)
+                lora_ids=lora_ids, use_kernels=self._use_kernels)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
 
         return draft_prefill, draft_propose, spec_verify

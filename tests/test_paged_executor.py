@@ -209,3 +209,31 @@ class TestBurstDecode:
         got = ex2.run(burst=3)[rid2].generated
         assert len(got) >= 5
         assert eos not in got[:4]
+
+
+def test_mesh_sharded_executor_matches_single():
+    """Serving over a (dp=1, pp=1, tp=2) mesh: weights column/row-sharded,
+    paged pools sharded on the KV-head axis, GSPMD partitioning the step
+    programs — greedy outputs must equal the unsharded executor's."""
+    from jax.sharding import Mesh
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+    prompts = [[3, 1, 4, 1], [2, 7]]
+
+    plain = Executor(params, cfg, seed=0, **kw)
+    ids = [plain.submit(p, max_new_tokens=6) for p in prompts]
+    want = [plain.run()[r].generated for r in ids]
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 1, 2),
+                ("dp", "pp", "tp"))
+    ex = Executor(params, cfg, seed=0, mesh=mesh, **kw)
+    ids2 = [ex.submit(p, max_new_tokens=6) for p in prompts]
+    done = ex.run()
+    for r, w in zip(ids2, want):
+        assert done[r].generated == w, (done[r].generated, w)
