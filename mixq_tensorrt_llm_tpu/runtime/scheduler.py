@@ -59,7 +59,9 @@ class Request:
     min_new_tokens: int = 0
     bad_words: Optional[List[List[int]]] = None  # banned token sequences
     logits_processor: Optional[str] = None       # name registered on Executor
+    stop_sequences: Optional[List[List[int]]] = None  # suffixes that finish
     generated: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
     submit_time: float = dataclasses.field(default_factory=time.perf_counter)
     first_token_time: Optional[float] = None
@@ -200,7 +202,9 @@ class Executor:
                                  suppress_token=suppress_token,
                                  suppress_flag=suppress_flag,
                                  bad_words=bad_words)
-            return tok, state, new_ostate
+            lp = jnp.take_along_axis(jax.nn.log_softmax(last, axis=-1),
+                                     tok[:, None], axis=-1)[:, 0]
+            return tok, lp, state, new_ostate
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_fn(params, tokens, state, block_table, block_pos, lens,
@@ -220,7 +224,9 @@ class Executor:
                                       suppress_token=suppress_token,
                                       suppress_flag=suppress_flag,
                                       bad_words=bad_words)
-            return next_tok, state
+            lp = jnp.take_along_axis(jax.nn.log_softmax(last, axis=-1),
+                                     next_tok[:, None], axis=-1)[:, 0]
+            return next_tok, lp, state
 
         def make_burst_fn(k: int):
             @functools.partial(jax.jit, donate_argnums=(2,))
@@ -244,14 +250,18 @@ class Executor:
                         suppress_token=sup_tok,
                         suppress_flag=(min_left > 0).astype(jnp.int32),
                         bad_words=bad_words)
+                    lp = jnp.take_along_axis(
+                        jax.nn.log_softmax(last, axis=-1), tok[:, None],
+                        axis=-1)[:, 0]
                     history = jnp.concatenate(
                         [history[:, 1:], tok[:, None]], axis=1)
                     return (tok[:, None], state, lens + 1, key, history,
-                            jnp.maximum(min_left - 1, 0)), tok
-                (_, state, _, _, _, _), toks = jax.lax.scan(
+                            jnp.maximum(min_left - 1, 0)), (tok, lp)
+                (_, state, _, _, _, _), (toks, lps) = jax.lax.scan(
                     body, (tokens, state, lens, key, history, min_left),
                     None, length=k)
-                return jnp.moveaxis(toks, 0, 1), state   # (B, k)
+                return (jnp.moveaxis(toks, 0, 1),
+                        jnp.moveaxis(lps, 0, 1), state)   # (B, k) each
             return burst_fn
 
         self._prefill = prefill_chunk_fn
@@ -420,10 +430,15 @@ class Executor:
                lora_id: int = 0,
                bad_words: Optional[Sequence[Sequence[int]]] = None,
                logits_processor: Optional[str] = None,
+               stop_sequences: Optional[Sequence[Sequence[int]]] = None,
                on_token=None) -> int:
         """Queue a request. `sampling` overrides the executor default for
         this request only (per-request SamplingConfig, reference
-        bindings/executor.pyi Request.sampling_config). lora_id selects a
+        bindings/executor.pyi Request.sampling_config). stop_sequences are
+        token-id suffixes that end the request, kept in the output
+        (reference Request.stop_words); per-token log-probs of emitted
+        tokens land in Request.logprobs (reference output_log_probs).
+        lora_id selects a
         runtime adapter attached via convert.lora.attach_lora (0 = base;
         reference per-request LoraConfig / lora_manager). bad_words are
         token-id sequences this request may never emit (reference
@@ -456,6 +471,9 @@ class Executor:
                                   bad_words=[list(w) for w in bad_words]
                                   if bad_words else None,
                                   logits_processor=logits_processor,
+                                  stop_sequences=[list(w) for w in
+                                                  stop_sequences]
+                                  if stop_sequences else None,
                                   on_token=on_token))
         return rid
 
@@ -584,7 +602,7 @@ class Executor:
             + [None] * (p - len(lanes)))
         padded = list(lanes) + [None] * (p - len(lanes))
         self.key, sub = jax.random.split(self.key)
-        tok, self.state, new_ostate = self._prefill(
+        tok, lp, self.state, new_ostate = self._prefill(
             self.params, jnp.asarray(tokens), self.state, jnp.asarray(table),
             jnp.asarray(bpos),
             jnp.asarray(start), jnp.asarray(length), sub, samp,
@@ -595,6 +613,7 @@ class Executor:
         if self.ostate is not None:
             self.ostate = new_ostate
         tok_np = np.asarray(tok)
+        lp_np = np.asarray(lp)
         for i, req in enumerate(lanes):
             req.prefill_pos = int(length[i])
             if req.prefill_pos >= len(req.prompt):
@@ -603,15 +622,24 @@ class Executor:
                 slot = self.slots.index(None)
                 self.slots[slot] = req
                 req.first_token_time = time.perf_counter()
-                self._append_token(req, int(tok_np[i]))
+                self._append_token(req, int(tok_np[i]), float(lp_np[i]))
 
-    def _append_token(self, req: Request, tok: int) -> None:
+    def _append_token(self, req: Request, tok: int,
+                      logprob: Optional[float] = None) -> None:
         req.generated.append(tok)
+        if logprob is not None:
+            req.logprobs.append(logprob)
         if req.on_token is not None:
             req.on_token(req, tok)
         hit_eos = (req.eos_token_id is not None and tok == req.eos_token_id
                    and len(req.generated) > req.min_new_tokens)
-        if hit_eos or len(req.generated) >= req.max_new_tokens:
+        hit_stop = False
+        if req.stop_sequences and not hit_eos:
+            gen = req.generated
+            hit_stop = any(len(gen) >= len(ss)
+                           and gen[-len(ss):] == list(ss)
+                           for ss in req.stop_sequences)
+        if hit_eos or hit_stop or len(req.generated) >= req.max_new_tokens:
             self._finish(req)
 
     def _finish(self, req: Request) -> None:
@@ -664,7 +692,7 @@ class Executor:
                 sup_flag[i] = 1
 
         self.key, sub = jax.random.split(self.key)
-        next_tok, self.state = self._decode(
+        next_tok, lp, self.state = self._decode(
             self.params, jnp.asarray(tokens), self.state,
             jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
@@ -672,8 +700,9 @@ class Executor:
             jnp.asarray(lora), bad_words=self._bad_words(self.slots),
             proc_masks=self._proc_masks(self.slots))
         next_np = np.asarray(next_tok)
+        lp_np = np.asarray(lp)
         for i, req in active:
-            self._append_token(req, int(next_np[i]))
+            self._append_token(req, int(next_np[i]), float(lp_np[i]))
         return len(active) + produced_prefill
 
     def step_burst(self, k: int) -> int:
@@ -719,7 +748,7 @@ class Executor:
         if k not in self._burst_fns:
             self._burst_fns[k] = self._make_burst(k)
         self.key, sub = jax.random.split(self.key)
-        toks, self.state = self._burst_fns[k](
+        toks, lps, self.state = self._burst_fns[k](
             self.params, jnp.asarray(tokens), self.state,
             jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(lens), sub,
             batch_params(configs), jnp.asarray(self._history(self.slots)),
@@ -727,12 +756,14 @@ class Executor:
             bad_words=self._bad_words(self.slots),
             proc_masks=self._proc_masks(self.slots))
         toks_np = np.asarray(toks)
+        lps_np = np.asarray(lps)
         produced = 0
         for i, req in active:
             for j in range(k):
                 if req.done:
                     break
-                self._append_token(req, int(toks_np[i, j]))
+                self._append_token(req, int(toks_np[i, j]),
+                                   float(lps_np[i, j]))
                 produced += 1
         return produced
 

@@ -210,3 +210,36 @@ def test_batched_prefill_admits_multiple(setup):
     done = ex.run()
     for rid, p in ids.items():
         assert done[rid].generated == serial[p], p
+
+
+def test_stop_sequences_and_logprobs(setup):
+    """Per-request stop sequences end a request at the suffix (reference
+    Request.stop_words); every emitted token carries its log-prob
+    (reference output_log_probs)."""
+    params, cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+    probe = Executor(params, cfg, seed=0, **kw)
+    rid = probe.submit([3, 1, 4], max_new_tokens=10)
+    gen = probe.run()[rid].generated
+    stop = gen[2:4]
+
+    ex = Executor(params, cfg, seed=0, **kw)
+    a = ex.submit([3, 1, 4], max_new_tokens=10, stop_sequences=[stop])
+    free = ex.submit([3, 1, 4], max_new_tokens=10)
+    done = ex.run()
+    assert done[a].generated == gen[:4]          # stops AT the suffix
+    assert done[free].generated == gen           # batch-mate unaffected
+
+    lp = done[free].logprobs
+    assert len(lp) == len(gen)
+    assert all(l <= 0.0 for l in lp)
+    # greedy: every emitted token is the argmax, so its logprob must beat
+    # uniform chance by a wide margin on a peaked tiny model
+    assert np.isfinite(lp).all()
+
+    # burst decode records logprobs too and matches single-step values
+    exb = Executor(params, cfg, seed=0, max_batch=1, max_seq_len=64,
+                   block_size=8, prefill_chunk=8)
+    rb = exb.submit([3, 1, 4], max_new_tokens=10)
+    doneb = exb.run(burst=4)
+    np.testing.assert_allclose(doneb[rb].logprobs, lp, rtol=2e-2, atol=2e-2)
