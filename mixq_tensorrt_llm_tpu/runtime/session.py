@@ -39,6 +39,9 @@ class GenerationOutput:
     num_generated: List[int]
     prefill_time_s: float = 0.0
     decode_time_s: float = 0.0
+    # per-sequence log-softmax of each emitted token (reference
+    # output_log_probs); None for paths that do not record them (beams)
+    logprobs: Optional[List[List[float]]] = None
 
     @property
     def decode_tokens_per_s(self) -> float:
@@ -96,7 +99,10 @@ class GenerationSession:
                               suppress_token=suppress_token,
                               suppress_flag=suppress_flag,
                               bad_words=bad_words, processors=processors)
-            return next_tok, cache
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits[:, 0], axis=-1),
+                next_tok[:, None], axis=-1)[:, 0]
+            return next_tok, lp, cache
 
         self._prefill = _prefill
         self._decode = _decode
@@ -177,6 +183,8 @@ class GenerationSession:
                      suppress_token=eos_tok,
                      suppress_flag=jnp.int32(1 if min_new_tokens > 1 else 0),
                      bad_words=bw, processors=procs)
+        lp0 = jnp.take_along_axis(jax.nn.log_softmax(last_logits, axis=-1),
+                                  cur[:, None], axis=-1)[:, 0]
         cur.block_until_ready()
         t1 = time.perf_counter()
 
@@ -185,7 +193,9 @@ class GenerationSession:
             history[:, -1] = tok_np
 
         generated = np.zeros((b, max_new_tokens), np.int32)
+        logprobs = np.zeros((b, max_new_tokens), np.float32)
         generated[:, 0] = np.asarray(cur)
+        logprobs[:, 0] = np.asarray(lp0)
         push_history(generated[:, 0])
         finished = np.zeros((b,), bool)
 
@@ -211,19 +221,20 @@ class GenerationSession:
                 break
             key, sub = jax.random.split(key)
             ban = jnp.int32(1 if step + 1 <= min_new_tokens else 0)
-            cur, cache = self._decode(self.params, cur[:, None], cache,
-                                      cur_lens, sub, sampling,
-                                      jnp.asarray(history), eos_tok, ban,
-                                      bad_words=bw, processors=procs)
+            cur, lp, cache = self._decode(self.params, cur[:, None], cache,
+                                          cur_lens, sub, sampling,
+                                          jnp.asarray(history), eos_tok, ban,
+                                          bad_words=bw, processors=procs)
             cur_lens = cur_lens + 1
             generated[:, step] = np.asarray(cur)
+            logprobs[:, step] = np.asarray(lp)
             push_history(generated[:, step])
             update_finished(step)
             steps += 1
         jax.block_until_ready(cur)
         t2 = time.perf_counter()
 
-        sequences, n_gen = [], []
+        sequences, n_gen, lps = [], [], []
         for i, p in enumerate(prompts):
             gen = generated[i, :steps].tolist()
             if eos_token_id is not None and eos_token_id in gen:
@@ -240,9 +251,10 @@ class GenerationSession:
                     break
             sequences.append(list(p) + gen)
             n_gen.append(len(gen))
+            lps.append(logprobs[i, :len(gen)].tolist())
         return GenerationOutput(sequences, lens_list, n_gen,
                                 prefill_time_s=t1 - t0,
-                                decode_time_s=t2 - t1)
+                                decode_time_s=t2 - t1, logprobs=lps)
 
     def score_logits(self, tokens: np.ndarray, lens: np.ndarray) -> jax.Array:
         """Full-sequence logits for PPL evaluation. tokens (B,S) padded."""

@@ -9,7 +9,9 @@ Executor.step() — requests batch together automatically between steps.
                    "eos": bool, "min_new_tokens": int,
                    "temperature"/"top_k"/"top_p"/"greedy"/
                    "repetition_penalty": sampling overrides,
-                   "bad_words": [str | [int]]} -> {"text", "tokens", "stats"}
+                   "bad_words": [str | [int]],
+                   "stop": [[int]]}
+       -> {"text", "tokens", "logprobs", "stats"}
   GET  /health                                 -> {"status": "ok", ...}
 
 Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
@@ -51,7 +53,7 @@ class InferenceServer:
     def generate(self, prompt, max_new_tokens: int = 64,
                  use_eos: bool = True, timeout: float = 600.0,
                  sampling=None, min_new_tokens: int = 0,
-                 bad_words=None) -> dict:
+                 bad_words=None, stop_sequences=None) -> dict:
         if isinstance(prompt, str):
             assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
             ids = self.llm.tokenizer(prompt)["input_ids"]
@@ -70,7 +72,8 @@ class InferenceServer:
             rid = self.executor.submit(ids, max_new_tokens=max_new_tokens,
                                        eos_token_id=eos, sampling=sampling,
                                        min_new_tokens=min_new_tokens,
-                                       bad_words=bad_words)
+                                       bad_words=bad_words,
+                                       stop_sequences=stop_sequences)
             self._events[rid] = ev
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out")
@@ -83,6 +86,7 @@ class InferenceServer:
         return {
             "text": text,
             "tokens": req.generated,
+            "logprobs": [round(x, 6) for x in req.logprobs],
             "stats": {
                 "prompt_tokens": len(req.prompt),
                 "generated_tokens": len(req.generated),
@@ -141,7 +145,8 @@ def make_handler(server: InferenceServer):
                     use_eos=bool(req.get("eos", True)),
                     sampling=sampling,
                     min_new_tokens=int(req.get("min_new_tokens", 0)),
-                    bad_words=req.get("bad_words"))
+                    bad_words=req.get("bad_words"),
+                    stop_sequences=req.get("stop"))
                 self._json(200, out)
             except (ValueError, KeyError, AssertionError) as e:
                 self._json(400, {"error": str(e)})
