@@ -117,6 +117,8 @@ class LLM:
                         eos_token_id: Optional[int] = None,
                         num_beams: int = 1,
                         bad_words: Optional[Sequence[Sequence[int]]] = None,
+                        stop_sequences: Optional[
+                            Sequence[Sequence[int]]] = None,
                         logits_processors: Sequence = (),
                         seed: int = 0) -> GenerationOutput:
         """Token-id in, GenerationOutput out. num_beams > 1 runs paged
@@ -129,6 +131,7 @@ class LLM:
                                      eos_token_id=eos_token_id,
                                      num_beams=num_beams,
                                      bad_words=bad_words,
+                                     stop_sequences=stop_sequences,
                                      logits_processors=logits_processors,
                                      seed=seed)
 

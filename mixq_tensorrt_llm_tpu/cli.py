@@ -74,6 +74,15 @@ def _add_generate(sub):
     p.add_argument("--num_beams", type=int, default=1,
                    help="beam search over the paged KV pool "
                         "(reference run.py --num_beams)")
+    p.add_argument("--bad_words", action="append", default=None,
+                   help="string that may never be generated; repeatable "
+                        "(reference run.py --bad_words)")
+    p.add_argument("--stop_words", action="append", default=None,
+                   help="string suffix that ends generation; repeatable "
+                        "(reference run.py --stop_words)")
+    p.add_argument("--output_logprobs", action="store_true",
+                   help="print per-token log-probs "
+                        "(reference --output_log_probs)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--run_profiling", action="store_true",
                    help="print prefill/decode timing breakdown "
@@ -90,14 +99,22 @@ def _cmd_generate(args):
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
     token_lists = [llm.tokenizer(p)["input_ids"] for p in args.prompt]
+    tok_nosp = lambda w: llm.tokenizer(w, add_special_tokens=False)["input_ids"]
+    bw = [tok_nosp(w) for w in args.bad_words] if args.bad_words else None
+    stops = [tok_nosp(w) for w in args.stop_words] if args.stop_words else None
     out = llm.generate_tokens(token_lists,
                               max_new_tokens=args.max_new_tokens,
                               sampling=sampling, seed=args.seed,
                               num_beams=args.num_beams,
+                              bad_words=bw, stop_sequences=stops,
                               eos_token_id=llm.tokenizer.eos_token_id)
-    for prompt, seq, tl in zip(args.prompt, out.sequences, token_lists):
+    for i, (prompt, seq, tl) in enumerate(zip(args.prompt, out.sequences,
+                                              token_lists)):
         print(f"--- prompt: {prompt!r}")
         print(llm.tokenizer.decode(seq[len(tl):], skip_special_tokens=True))
+        if args.output_logprobs and out.logprobs is not None:
+            print(json.dumps({"logprobs":
+                              [round(x, 4) for x in out.logprobs[i]]}))
     if args.run_profiling:
         n_gen = sum(out.num_generated)
         print(json.dumps({
