@@ -276,12 +276,14 @@ class Executor:
         cfg_s, win_tokens, sink_tokens = (self.cfg, self._win_tokens,
                                           self._sink_tokens)
 
+        use_k = self._use_kernels   # flash prefill is also a Pallas call
+
         @functools.partial(jax.jit, donate_argnums=(2,))
         def draft_prefill(dp, tokens, dcache, lens):
             b, s = tokens.shape
             pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
             _, dcache = mcommon.forward(dp, draft_cfg, tokens, pos, dcache,
-                                        lens, full_prefill=True)
+                                        lens, full_prefill=use_k)
             return dcache
 
         @functools.partial(jax.jit, donate_argnums=(1,))

@@ -157,3 +157,27 @@ def test_verify_kernel_path_matches_fallback(setup, monkeypatch):
     done = ex2.run_speculative(draft_params, draft_cfg, gamma=3)
     assert done[a2].generated == want[a]
     assert done[b2].generated == want[b]
+
+
+def test_speculative_on_tp_mesh(setup):
+    """run_speculative over a tp=2 sharded executor matches the unsharded
+    run (draft dense cache replicated, verify chunks GSPMD-partitioned)."""
+    from jax.sharding import Mesh
+    params, cfg, draft_params, draft_cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+
+    plain = Executor(params, cfg, seed=0, **kw)
+    a = plain.submit([3, 1, 4], max_new_tokens=8)
+    b = plain.submit([2, 7], max_new_tokens=6)
+    want = {k: v.generated
+            for k, v in plain.run_speculative(draft_params, draft_cfg,
+                                              gamma=3).items()}
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 1, 2),
+                ("dp", "pp", "tp"))
+    ex = Executor(params, cfg, seed=0, mesh=mesh, **kw)
+    a2 = ex.submit([3, 1, 4], max_new_tokens=8)
+    b2 = ex.submit([2, 7], max_new_tokens=6)
+    done = ex.run_speculative(draft_params, draft_cfg, gamma=3)
+    assert done[a2].generated == want[a]
+    assert done[b2].generated == want[b]
