@@ -51,7 +51,14 @@ def save_checkpoint(path: str, params: Dict, cfg: ModelConfig) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, CONFIG_NAME), "w") as f:
         json.dump(cfg.to_dict(), f, indent=2)
-    flat = {k: jnp.asarray(v) for k, v in _flatten(params).items()}
+    flat = {}
+    for k, v in _flatten(params).items():
+        v = jnp.asarray(v)
+        if v.dtype == jnp.float8_e4m3fn:
+            # safetensors' flax writer routes through numpy, which has no
+            # float8; store the raw bytes with a dtype-marker suffix
+            k, v = k + "@e4m3", jax.lax.bitcast_convert_type(v, jnp.uint8)
+        flat[k] = v
     safetensors.flax.save_file(flat, os.path.join(path, WEIGHTS_NAME))
 
 
@@ -59,8 +66,14 @@ def load_checkpoint(path: str) -> Tuple[Dict, ModelConfig]:
     import safetensors.flax
     with open(os.path.join(path, CONFIG_NAME)) as f:
         cfg = ModelConfig.from_dict(json.load(f))
-    flat = safetensors.flax.load_file(os.path.join(path, WEIGHTS_NAME))
-    params = _unflatten(dict(flat))
+    flat = {}
+    for k, v in safetensors.flax.load_file(
+            os.path.join(path, WEIGHTS_NAME)).items():
+        if k.endswith("@e4m3"):
+            k = k[:-len("@e4m3")]
+            v = jax.lax.bitcast_convert_type(v, jnp.float8_e4m3fn)
+        flat[k] = v
+    params = _unflatten(flat)
     _validate(params, cfg)
     return params, cfg
 
@@ -118,7 +131,7 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
             want = {"w"}
         elif algo.is_mix:
             want = {"qweight", "scale_col", "fp_ind", "fp_weight"}
-        elif algo.is_weight_only:
+        elif algo.is_weight_only or algo.is_fp8:
             want = {"qweight", "scale_col"}
         else:
             want = {"w"}

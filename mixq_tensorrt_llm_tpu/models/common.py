@@ -183,10 +183,12 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
         from . import recurrentgemma
         return recurrentgemma.init_state(cfg, batch, max_len)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+    if cfg.quant.kv_cache != KVCacheQuantAlgo.NONE:
+        qdt = (jnp.int8 if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8
+               else jnp.float8_e4m3fn)
         return KVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
+            k=jnp.zeros(shape, qdt),
+            v=jnp.zeros(shape, qdt),
             k_scale=jnp.ones(shape[:-1], jnp.float32),
             v_scale=jnp.ones(shape[:-1], jnp.float32),
         )
@@ -294,9 +296,9 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
     batch_idx = jnp.arange(b)[:, None]  # (B, 1) broadcasts with (B, S)
 
     ck, cv = layer_cache["k"], layer_cache["v"]
-    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
-        qk, sk = qcore.quantize_kv(new_k)
-        qv, sv = qcore.quantize_kv(new_v)
+    if cfg.quant.kv_cache != KVCacheQuantAlgo.NONE:
+        qk, sk = qcore.quantize_kv(new_k, dtype=layer_cache["k"].dtype)
+        qv, sv = qcore.quantize_kv(new_v, dtype=layer_cache["v"].dtype)
         ck = ck.at[batch_idx, write_pos].set(qk)
         cv = cv.at[batch_idx, write_pos].set(qv)
         cks = layer_cache["k_scale"].at[batch_idx, write_pos].set(sk)
@@ -400,7 +402,9 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                                  block_pos=block_pos,
                                  use_kernels=use_kernels)
 
-    if use_kernels and _use_paged_kernel() and alibi is None and not softcap:
+    kernel_kv_ok = not quantized or new_caches["k"].dtype == jnp.int8
+    if use_kernels and kernel_kv_ok and _use_paged_kernel() \
+            and alibi is None and not softcap:
         if q.shape[1] == 1:
             # decode: flash-decoding Pallas kernel reads pages in place
             # (int8 dequant in VMEM); the jnp gather path below would

@@ -107,6 +107,13 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
         w = params["w"]
         out = jnp.dot(x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32).astype(x.dtype)
+    elif algo.is_fp8:
+        # weight-only fp8: dequant fuses into the dot (1 byte/weight HBM
+        # traffic, same as int8 weight-only; reference stock FP8 algo)
+        w = (params["qweight"].astype(jnp.float32)
+             * params["scale_col"][None, :]).astype(jnp.bfloat16)
+        out = jnp.dot(x2.astype(jnp.bfloat16), w,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
     elif algo.is_weight_only:
         if "qweight_packed" in params and _packed_kernel_ok(x2.shape[0]):
             # decode regime with packed int4: the Pallas kernel reads the
@@ -173,6 +180,9 @@ def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
         out["w"] = w.astype(jnp.bfloat16)
     elif algo == QuantAlgo.W8A16:
         q, s = qcore.quantize_weight_int8(w)
+        out["qweight"], out["scale_col"] = q, s.astype(jnp.float32)
+    elif algo == QuantAlgo.FP8:
+        q, s = qcore.quantize_weight_fp8(w)
         out["qweight"], out["scale_col"] = q, s.astype(jnp.float32)
     elif algo == QuantAlgo.W4A16:
         q, s = qcore.quantize_weight_int4(w)

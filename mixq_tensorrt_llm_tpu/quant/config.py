@@ -30,6 +30,7 @@ class QuantAlgo(str, enum.Enum):
     W4A16 = "w4a16"              # weight-only int4, per-out-channel scale
     INT8_MIX = "int8_mix"        # W8A8O16: int8 GEMM + fp16 outlier side-GEMM
     INT4_MIX = "int4_mix"        # W4A8O16 variant (scale=absmax/10, clamp [-8,7])
+    FP8 = "fp8"                  # weight-only float8_e4m3 (stock TRT-LLM algo)
 
     @property
     def is_mix(self) -> bool:
@@ -40,6 +41,10 @@ class QuantAlgo(str, enum.Enum):
         return self in (QuantAlgo.W8A16, QuantAlgo.W4A16)
 
     @property
+    def is_fp8(self) -> bool:
+        return self == QuantAlgo.FP8
+
+    @property
     def weight_bits(self) -> int:
         return {
             QuantAlgo.NONE: 16,
@@ -47,6 +52,7 @@ class QuantAlgo(str, enum.Enum):
             QuantAlgo.W4A16: 4,
             QuantAlgo.INT8_MIX: 8,
             QuantAlgo.INT4_MIX: 4,
+            QuantAlgo.FP8: 8,
         }[self]
 
 
@@ -55,6 +61,7 @@ class KVCacheQuantAlgo(str, enum.Enum):
 
     NONE = "none"
     INT8 = "int8"
+    FP8 = "fp8"                  # float8_e4m3 KV (stock TRT-LLM algo)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +107,7 @@ class QuantConfig:
         short = name.rsplit(".", 1)[-1]
         if any(short == e or name.endswith(e) for e in self.exclude_modules):
             return QuantAlgo.NONE
-        if self.algo.is_weight_only:
+        if self.algo.is_weight_only or self.algo.is_fp8:
             return self.algo
         # mix algos: route down_proj to the matching weight-only algo
         if any(short == w or name.endswith(w) for w in self.weight_only_modules):

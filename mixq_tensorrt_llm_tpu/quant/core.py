@@ -181,17 +181,35 @@ def extract_outliers_and_zero(x: jax.Array, fp_ind: jax.Array
 # KV-cache quantization
 # ---------------------------------------------------------------------------
 
-def quantize_kv(kv: jax.Array, axis: int = -1) -> Tuple[jax.Array, jax.Array]:
-    """Symmetric int8 KV quantization with per-(token, head) scales.
+FP8_MAX = 448.0   # float8_e4m3 finite max
 
-    ``kv``: (..., head_dim). Finer-grained than the reference's per-tensor
-    KV scale (TRT kv_cache_quant_algo) — strictly more accurate and free on
+
+def quantize_kv(kv: jax.Array, axis: int = -1,
+                dtype=jnp.int8) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric quantized KV with per-(token, head) scales.
+
+    ``kv``: (..., head_dim). dtype int8 (default) or float8_e4m3fn
+    (reference kv_cache_quant_algo INT8 / FP8). Finer-grained than the
+    reference's per-tensor KV scale — strictly more accurate and free on
     TPU because the scale rides along with the block.
     """
     kvf = kv.astype(jnp.float32)
+    if dtype == jnp.float8_e4m3fn:
+        scale = (jnp.max(jnp.abs(kvf), axis=axis, keepdims=True)
+                 / FP8_MAX).clip(1e-8)
+        q = (kvf / scale).astype(jnp.float8_e4m3fn)
+        return q, scale.squeeze(axis)
     scale = (jnp.max(jnp.abs(kvf), axis=axis, keepdims=True) / INT8_MAX).clip(1e-8)
     q = jnp.clip(jnp.round(kvf / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     return q, scale.squeeze(axis)
+
+
+def quantize_weight_fp8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-out-channel float8_e4m3 weight quantization (reference stock
+    FP8 algo): scale_col = absmax / 448, qweight e4m3. w (in, out)."""
+    wf = w.astype(jnp.float32)
+    scale = (jnp.max(jnp.abs(wf), axis=0) / FP8_MAX).clip(1e-8)
+    return (wf / scale[None, :]).astype(jnp.float8_e4m3fn), scale
 
 
 def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16,

@@ -72,10 +72,12 @@ def init_paged_kv(cfg: ModelConfig, num_blocks: int,
                   block_size: int = 64) -> PagedKVState:
     shape = (cfg.num_layers * num_blocks, cfg.num_kv_heads, block_size,
              cfg.head_dim)
-    if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8:
+    if cfg.quant.kv_cache != KVCacheQuantAlgo.NONE:
+        qdt = (jnp.int8 if cfg.quant.kv_cache == KVCacheQuantAlgo.INT8
+               else jnp.float8_e4m3fn)
         sshape = (cfg.num_layers * num_blocks, cfg.num_kv_heads, block_size)
         return PagedKVState(
-            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k=jnp.zeros(shape, qdt), v=jnp.zeros(shape, qdt),
             k_scale=jnp.ones(sshape, jnp.float32),
             v_scale=jnp.ones(sshape, jnp.float32))
     return PagedKVState(k=jnp.zeros(shape, cfg.dtype),
@@ -286,10 +288,12 @@ def paged_write(layer_caches, block_table: jax.Array,
     if valid is not None:
         blk = jnp.where(valid, blk, 0)
 
+    int8_pool = layer_caches["k"].dtype in (jnp.int8, jnp.bfloat16) or \
+        not quantized   # the write kernels quantize to int8 only
     if new_k.shape[1] == 1:
         from ..ops._util import _on_tpu
         import os
-        if use_kernels and _on_tpu() \
+        if use_kernels and int8_pool and _on_tpu() \
                 and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0":
             # decode: aliased Pallas RMW of the one target page per seq.
             # A dynamic_update_slice next to the Pallas attention read of
@@ -305,7 +309,7 @@ def paged_write(layer_caches, block_table: jax.Array,
                                    new_k[:, 0], new_v[:, 0], quantized)
     from ..ops._util import _on_tpu
     import os
-    if (use_kernels and _on_tpu()
+    if (use_kernels and int8_pool and _on_tpu()
             and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0"
             and new_k.shape[1] % bs == 0):
         # chunked prefill: aliased Pallas RMW of the pages each BS-token
@@ -319,8 +323,8 @@ def paged_write(layer_caches, block_table: jax.Array,
     # kv pages are (NB, Hkv, BS, D) and scale pages (NB, Hkv, BS): the
     # head axis precedes the in-block offset, so updates index [blk, :, off]
     if quantized:
-        qk, sk = qcore.quantize_kv(new_k)
-        qv, sv = qcore.quantize_kv(new_v)
+        qk, sk = qcore.quantize_kv(new_k, dtype=layer_caches["k"].dtype)
+        qv, sv = qcore.quantize_kv(new_v, dtype=layer_caches["v"].dtype)
         out = {
             "k": layer_caches["k"].at[blk, :, off].set(qk),
             "v": layer_caches["v"].at[blk, :, off].set(qv),
@@ -359,8 +363,8 @@ def _paged_write_decode(layer_caches, blk, off, new_k, new_v, quantized):
         return jax.lax.fori_loop(0, b, body, pool)
 
     if quantized:
-        qk, sk = qcore.quantize_kv(new_k)
-        qv, sv = qcore.quantize_kv(new_v)
+        qk, sk = qcore.quantize_kv(new_k, dtype=layer_caches["k"].dtype)
+        qv, sv = qcore.quantize_kv(new_v, dtype=layer_caches["v"].dtype)
         return {
             "k": write_pool(layer_caches["k"], qk),
             "v": write_pool(layer_caches["v"], qv),
