@@ -12,6 +12,9 @@ Executor.step() — requests batch together automatically between steps.
                    "bad_words": [str | [int]],
                    "stop": [[int]]}
        -> {"text", "tokens", "logprobs", "stats"}
+  POST /generate_stream  same body -> chunked JSON lines, one per token
+                   ({"token": id, "text": piece}), final line {"done": ...}
+                   (reference streaming generation, decode_stream)
   GET  /health                                 -> {"status": "ok", ...}
 
 Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
@@ -95,6 +98,49 @@ class InferenceServer:
             },
         }
 
+    def generate_stream(self, prompt, max_new_tokens: int = 64,
+                        use_eos: bool = True, timeout: float = 600.0,
+                        sampling=None, min_new_tokens: int = 0,
+                        bad_words=None, stop_sequences=None):
+        """Yield one dict per generated token, then a final summary dict
+        (reference streaming / decode_stream). Tokens flow through the
+        executor's on_token callback into a queue the HTTP thread drains."""
+        import queue
+        if isinstance(prompt, str):
+            assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
+            ids = self.llm.tokenizer(prompt)["input_ids"]
+        else:
+            ids = list(prompt)
+        eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
+               if use_eos else None)
+        q: "queue.Queue" = queue.Queue()
+        with self._lock:
+            rid = self.executor.submit(
+                ids, max_new_tokens=max_new_tokens, eos_token_id=eos,
+                sampling=sampling, min_new_tokens=min_new_tokens,
+                bad_words=bad_words, stop_sequences=stop_sequences,
+                on_token=lambda req, tok: q.put(tok))
+            ev = threading.Event()
+            self._events[rid] = ev
+        t0 = time.perf_counter()
+        while True:
+            try:
+                tok = q.get(timeout=0.05)
+            except queue.Empty:
+                if ev.is_set() and q.empty():
+                    break   # finished and fully drained
+                if time.perf_counter() - t0 > timeout:
+                    raise TimeoutError(f"request {rid} stalled")
+                continue
+            piece = (self.llm.tokenizer.decode([tok])
+                     if self.llm.tokenizer else None)
+            yield {"token": int(tok), "text": piece}
+        with self._lock:
+            req = self.executor.finished.pop(rid)
+            self._events.pop(rid, None)
+        yield {"done": True, "generated_tokens": len(req.generated),
+               "logprobs": [round(x, 6) for x in req.logprobs]}
+
     def shutdown(self):
         self._stop.set()
         self._stepper.join(timeout=5)
@@ -124,7 +170,7 @@ def make_handler(server: InferenceServer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_stream"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -139,14 +185,28 @@ def make_handler(server: InferenceServer):
                     # a sampling knob implies stochastic unless told not to
                     over.setdefault("greedy", False)
                     sampling = SamplingConfig(**over)
-                out = server.generate(
-                    req.get("prompt", ""),
+                kw = dict(
                     max_new_tokens=int(req.get("max_new_tokens", 64)),
                     use_eos=bool(req.get("eos", True)),
                     sampling=sampling,
                     min_new_tokens=int(req.get("min_new_tokens", 0)),
                     bad_words=req.get("bad_words"),
                     stop_sequences=req.get("stop"))
+                if self.path == "/generate_stream":
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/jsonlines")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for item in server.generate_stream(
+                            req.get("prompt", ""), **kw):
+                        line = (json.dumps(item) + "\n").encode()
+                        self.wfile.write(b"%x\r\n%s\r\n"
+                                         % (len(line), line))
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                out = server.generate(req.get("prompt", ""), **kw)
                 self._json(200, out)
             except (ValueError, KeyError, AssertionError) as e:
                 self._json(400, {"error": str(e)})

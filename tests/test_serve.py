@@ -105,3 +105,20 @@ def test_sampling_and_bad_words_fields(server):
     out2 = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
                           "eos": False, "temperature": 2.0, "top_k": 20})
     assert len(out2["tokens"]) == 6
+
+
+def test_generate_stream_tokens(server):
+    """/generate_stream yields one JSON line per token (chunked), then a
+    summary line; tokens equal the non-streaming endpoint's."""
+    base = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
+                          "eos": False})
+    req = urllib.request.Request(
+        server + "/generate_stream",
+        json.dumps({"prompt": [1, 2, 3], "max_new_tokens": 6,
+                    "eos": False}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        lines = [json.loads(l) for l in r.read().decode().splitlines() if l]
+    toks = [l["token"] for l in lines if "token" in l]
+    assert toks == base["tokens"]
+    assert lines[-1]["done"] and lines[-1]["generated_tokens"] == 6
