@@ -16,6 +16,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..quant.config import QuantAlgo, QuantConfig, KVCacheQuantAlgo
 from ..quant import core as qcore
@@ -92,6 +93,12 @@ class ModelConfig:
     # --- DBRX axes
     clip_qkv: float = 0.0                # clamp qkv projection to ±clip
     #                                      (HF DbrxAttention clip_qkv); 0 = off
+    # --- RoPE scaling (HF rope_scaling; Llama-3.1 ships rope_type=llama3)
+    rope_scaling_type: str = "none"      # none | linear | llama3
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0    # llama3
+    rope_high_freq_factor: float = 4.0   # llama3
+    rope_original_max_pos: int = 8192    # llama3 original context
     # --- Mamba (selective SSM) axes; intermediate_size doubles as d_inner
     ssm_state_size: int = 0              # d_state (N); 0 = not an SSM arch
     conv_kernel: int = 4                 # depthwise causal conv width (K)
@@ -199,12 +206,33 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
 # RoPE
 # ---------------------------------------------------------------------------
 
-def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float
+def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float,
+                 cfg: Optional["ModelConfig"] = None
                  ) -> Tuple[jax.Array, jax.Array]:
-    """positions (..., S) int -> sin/cos (..., S, D/2) float32."""
+    """positions (..., S) int -> sin/cos (..., S, D/2) float32.
+
+    cfg (optional) applies HF rope_scaling: "linear" divides positions by
+    the factor; "llama3" (Llama-3.1) rescales inv_freq per wavelength band
+    (HF ROPE_INIT_FUNCTIONS["llama3"]): low-frequency dims divide by the
+    factor, high-frequency dims stay, mid-band interpolates smoothly."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                                 / head_dim))
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    if cfg is not None and cfg.rope_scaling_type == "llama3":
+        factor = cfg.rope_scaling_factor
+        low = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+        high = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+        wavelen = 2 * np.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (cfg.rope_original_max_pos / wavelen
+                  - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(wavelen > low, scaled,
+                             jnp.where(wavelen < high, inv_freq, smoothed))
+    pos = positions.astype(jnp.float32)
+    if cfg is not None and cfg.rope_scaling_type == "linear":
+        pos = pos / cfg.rope_scaling_factor
+    angles = pos[..., None] * inv_freq
     return jnp.sin(angles), jnp.cos(angles)
 
 
@@ -696,7 +724,7 @@ def _positional_arrays(cfg: ModelConfig, write_pos: jax.Array):
     """(sin, cos, alibi_slopes) for the decoder layers; unused slots None."""
     if cfg.pos_embedding == "rope":
         rd = cfg.rotary_dim or cfg.head_dim
-        sin, cos = rope_sin_cos(write_pos, rd, cfg.rope_theta)
+        sin, cos = rope_sin_cos(write_pos, rd, cfg.rope_theta, cfg=cfg)
         return sin, cos, None
     if cfg.pos_embedding == "alibi":
         return None, None, alibi_slopes(cfg.num_heads)

@@ -251,4 +251,28 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()) -> ModelConfig
         top_k_experts=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         quant=quant,
+        **_rope_scaling_axes(hf_config),
     )
+
+
+def _rope_scaling_axes(hf_config) -> dict:
+    """HF rope_scaling dict -> ModelConfig axes (Llama-3.1 'llama3'
+    wavelength-banded scaling and plain 'linear' interpolation)."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if not rs:
+        return {}
+    kind = rs.get("rope_type", rs.get("type", "none"))
+    if kind == "default":
+        return {}
+    if kind not in ("llama3", "linear"):
+        raise NotImplementedError(f"rope_scaling type {kind!r} unsupported "
+                                  "(llama3 and linear are)")
+    out = {"rope_scaling_type": kind,
+           "rope_scaling_factor": float(rs.get("factor", 1.0))}
+    if kind == "llama3":
+        out.update(
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_original_max_pos=int(
+                rs.get("original_max_position_embeddings", 8192)))
+    return out

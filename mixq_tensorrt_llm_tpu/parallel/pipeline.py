@@ -86,7 +86,8 @@ def pipeline_score_logits(params: Dict, cfg: ModelConfig, mesh: Mesh,
 
     tokens_mb = tokens.reshape(m, mb, s)
     pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (mb, 1))
-    sin, cos = mcommon.rope_sin_cos(pos, cfg.head_dim, cfg.rope_theta)
+    sin, cos = mcommon.rope_sin_cos(pos, cfg.rotary_dim or cfg.head_dim,
+                                    cfg.rope_theta, cfg=cfg)
 
     layer_params = params["layers"]
     other = {k: v for k, v in params.items() if k != "layers"}
