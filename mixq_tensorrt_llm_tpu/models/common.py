@@ -93,12 +93,15 @@ class ModelConfig:
     # --- DBRX axes
     clip_qkv: float = 0.0                # clamp qkv projection to ±clip
     #                                      (HF DbrxAttention clip_qkv); 0 = off
-    # --- RoPE scaling (HF rope_scaling; Llama-3.1 ships rope_type=llama3)
-    rope_scaling_type: str = "none"      # none | linear | llama3
+    # --- RoPE scaling (HF rope_scaling; Llama-3.1 llama3, Qwen yarn)
+    rope_scaling_type: str = "none"      # none | linear | llama3 | yarn
     rope_scaling_factor: float = 1.0
     rope_low_freq_factor: float = 1.0    # llama3
     rope_high_freq_factor: float = 4.0   # llama3
-    rope_original_max_pos: int = 8192    # llama3 original context
+    rope_original_max_pos: int = 8192    # llama3/yarn original context
+    rope_beta_fast: float = 32.0         # yarn extrapolation boundary
+    rope_beta_slow: float = 1.0          # yarn interpolation boundary
+    rope_attention_factor: float = 1.0   # yarn cos/sin magnitude scale
     # --- Mamba (selective SSM) axes; intermediate_size doubles as d_inner
     ssm_state_size: int = 0              # d_state (N); 0 = not an SSM arch
     conv_kernel: int = 4                 # depthwise causal conv width (K)
@@ -217,6 +220,28 @@ def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float,
     factor, high-frequency dims stay, mid-band interpolates smoothly."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                                 / head_dim))
+    if cfg is not None and cfg.rope_scaling_type == "yarn":
+        # YaRN (arXiv 2309.00071; HF _compute_yarn_parameters): blend the
+        # interpolated (freq/factor) and original frequencies with a
+        # linear ramp over the correction dim range, and scale cos/sin by
+        # the attention factor
+        import math
+        dim = head_dim
+        base = theta
+
+        def corr_dim(rot):
+            return dim * math.log(cfg.rope_original_max_pos
+                                  / (rot * 2 * math.pi)) / (2 * math.log(base))
+        low = max(math.floor(corr_dim(cfg.rope_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.rope_beta_slow)), dim - 1)
+        ramp = jnp.clip((jnp.arange(dim // 2, dtype=jnp.float32) - low)
+                        / max(high - low, 1e-3), 0, 1)
+        extrap_f = 1.0 - ramp
+        inv_freq = (inv_freq / cfg.rope_scaling_factor) * (1 - extrap_f) \
+            + inv_freq * extrap_f
+        angles = positions.astype(jnp.float32)[..., None] * inv_freq
+        af = cfg.rope_attention_factor
+        return jnp.sin(angles) * af, jnp.cos(angles) * af
     if cfg is not None and cfg.rope_scaling_type == "llama3":
         factor = cfg.rope_scaling_factor
         low = cfg.rope_original_max_pos / cfg.rope_low_freq_factor

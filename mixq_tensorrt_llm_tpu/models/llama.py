@@ -264,9 +264,9 @@ def _rope_scaling_axes(hf_config) -> dict:
     kind = rs.get("rope_type", rs.get("type", "none"))
     if kind == "default":
         return {}
-    if kind not in ("llama3", "linear"):
+    if kind not in ("llama3", "linear", "yarn"):
         raise NotImplementedError(f"rope_scaling type {kind!r} unsupported "
-                                  "(llama3 and linear are)")
+                                  "(llama3, linear, and yarn are)")
     out = {"rope_scaling_type": kind,
            "rope_scaling_factor": float(rs.get("factor", 1.0))}
     if kind == "llama3":
@@ -275,4 +275,22 @@ def _rope_scaling_axes(hf_config) -> dict:
             rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
             rope_original_max_pos=int(
                 rs.get("original_max_position_embeddings", 8192)))
+    if kind == "yarn":
+        import math
+        factor = float(rs.get("factor", 1.0))
+        af = rs.get("attention_factor")
+        mscale, mall = rs.get("mscale"), rs.get("mscale_all_dim")
+
+        def get_mscale(scale, m=1):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+        if af is None:
+            af = (get_mscale(factor, mscale) / get_mscale(factor, mall)
+                  if mscale and mall else get_mscale(factor))
+        out.update(
+            rope_beta_fast=float(rs.get("beta_fast") or 32),
+            rope_beta_slow=float(rs.get("beta_slow") or 1),
+            rope_attention_factor=float(af),
+            rope_original_max_pos=int(
+                rs.get("original_max_position_embeddings")
+                or hf_config.max_position_embeddings))
     return out

@@ -206,3 +206,35 @@ def test_llama3_rope_scaling_parity():
     got, _ = forward(params, cfg, jnp.asarray(toks), pos, cache,
                      jnp.full((b,), s, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.1, atol=0.15)
+
+
+def test_yarn_rope_scaling_parity():
+    """YaRN rope_scaling (Qwen long-context checkpoints) matches HF."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from mixq_tensorrt_llm_tpu.models import (forward, init_kv_cache,
+                                              registry)
+    hf_cfg = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = registry.config_from_hf(hf_cfg)
+    assert cfg.rope_scaling_type == "yarn"
+    assert cfg.rope_attention_factor > 1.0   # 0.1*ln(4)+1
+    params = registry.params_from_hf(cfg, sd)
+
+    toks = np.array([[1, 5, 9, 42, 7, 100, 3, 200] * 6], np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(toks, dtype=torch.long)).logits.numpy()
+    b, s = toks.shape
+    cache = init_kv_cache(cfg, b, 64)
+    pos = jnp.tile(jnp.arange(s), (b, 1))
+    got, _ = forward(params, cfg, jnp.asarray(toks), pos, cache,
+                     jnp.full((b,), s, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.1, atol=0.15)
