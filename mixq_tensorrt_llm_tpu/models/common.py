@@ -101,7 +101,8 @@ class ModelConfig:
     rope_original_max_pos: int = 8192    # llama3/yarn original context
     rope_beta_fast: float = 32.0         # yarn extrapolation boundary
     rope_beta_slow: float = 1.0          # yarn interpolation boundary
-    rope_attention_factor: float = 1.0   # yarn cos/sin magnitude scale
+    rope_attention_factor: float = 1.0   # yarn/longrope cos/sin scale
+    rope_freq_factors: tuple = ()        # longrope per-dim inv_freq divisors
     # --- Mamba (selective SSM) axes; intermediate_size doubles as d_inner
     ssm_state_size: int = 0              # d_state (N); 0 = not an SSM arch
     conv_kernel: int = 4                 # depthwise causal conv width (K)
@@ -220,6 +221,14 @@ def rope_sin_cos(positions: jax.Array, head_dim: int, theta: float,
     factor, high-frequency dims stay, mid-band interpolates smoothly."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                                 / head_dim))
+    if cfg is not None and cfg.rope_scaling_type == "longrope":
+        # Phi-3 longrope: per-dim inv_freq divisors (the short/long factor
+        # choice is made at config time — see families.config_from_hf) and
+        # a sqrt(1 + ln(f)/ln(orig)) cos/sin scale
+        ext = jnp.asarray(cfg.rope_freq_factors, jnp.float32)
+        angles = positions.astype(jnp.float32)[..., None] * (inv_freq / ext)
+        af = cfg.rope_attention_factor
+        return jnp.sin(angles) * af, jnp.cos(angles) * af
     if cfg is not None and cfg.rope_scaling_type == "yarn":
         # YaRN (arXiv 2309.00071; HF _compute_yarn_parameters): blend the
         # interpolated (freq/factor) and original frequencies with a

@@ -258,11 +258,29 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
 
     if mt == "phi3":
         # Phi-3 (HF Phi3Config): llama structure with HF-side fused qkv
-        # and gate_up weights, sliding window, no biases
-        if g("rope_scaling") is not None:
-            raise NotImplementedError(
-                "phi3 longrope scaling unsupported; use the base-context "
-                "checkpoint (rope_scaling=null)")
+        # and gate_up weights, sliding window, no biases. longrope
+        # checkpoints (128k) pick the long/short per-dim factor set ONCE
+        # at config time by whether the serving context exceeds the
+        # original window (HF picks per forward by seq_len; a static
+        # graph picks per deployment — identical whenever all sequences
+        # sit on one side of the original window).
+        rope_extra = {}
+        rs = g("rope_scaling")
+        if rs is not None:
+            import math
+            assert rs.get("rope_type", rs.get("type")) == "longrope", rs
+            orig = g("original_max_position_embeddings") \
+                or hf_config.max_position_embeddings
+            factor = hf_config.max_position_embeddings / orig
+            long_ctx = hf_config.max_position_embeddings > orig
+            ext = rs["long_factor"] if long_ctx else rs["short_factor"]
+            af = rs.get("attention_factor")
+            if af is None:
+                af = 1.0 if factor <= 1.0 else math.sqrt(
+                    1 + math.log(factor) / math.log(orig))
+            rope_extra = dict(rope_scaling_type="longrope",
+                              rope_freq_factors=tuple(float(x) for x in ext),
+                              rope_attention_factor=float(af))
         head_dim = hf_config.hidden_size // hf_config.num_attention_heads
         return ModelConfig(
             arch="phi3", vocab_size=hf_config.vocab_size,
@@ -280,7 +298,7 @@ def config_from_hf(hf_config, quant: QuantConfig = QuantConfig()
             if g("partial_rotary_factor", 1.0) != 1.0 else 0,
             sliding_window=g("sliding_window", 0) or 0,
             tie_word_embeddings=g("tie_word_embeddings", False),
-            quant=quant)
+            quant=quant, **rope_extra)
 
     if mt == "dbrx":
         # DBRX (HF DbrxConfig): nested attn/ffn configs, fused Wqkv with

@@ -417,3 +417,34 @@ def test_alibi_session_generate():
     for i in range(5, len(seq)):
         lg = our_logits(cfg, params, np.asarray([seq[:i]], np.int32))
         assert int(lg[0, -1].argmax()) == seq[i], (i, seq)
+
+
+def test_phi3_longrope_parity():
+    """Phi-3 128k longrope: per-dim frequency divisors + attention factor
+    (long_factor chosen at config time for an extended-context serve)."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+    half = 8   # head_dim 16 -> 8 freq dims
+    hf_cfg = Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+        original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0] * half,
+                      "long_factor": [1.0 + 0.3 * i for i in range(half)]},
+        pad_token_id=0, eos_token_id=1, bos_token_id=2,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Phi3ForCausalLM(hf_cfg).eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = registry.config_from_hf(hf_cfg)
+    assert cfg.rope_scaling_type == "longrope"
+    assert len(cfg.rope_freq_factors) == half
+    params = registry.params_from_hf(cfg, sd)
+
+    toks = np.array([[1, 5, 9, 42, 7, 100, 3, 200] * 6], np.int32)  # 48 > 32
+    with torch.no_grad():
+        want = model(torch.tensor(toks.tolist(), dtype=torch.long)
+                     ).logits.numpy()
+    got = our_logits(cfg, params, toks)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.15)
