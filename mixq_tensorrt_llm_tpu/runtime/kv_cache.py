@@ -26,7 +26,7 @@ future, and mask out with no per-slot bookkeeping.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,21 +110,104 @@ class BlockManager:
         self.seqs: Dict[int, SequenceBlocks] = {}
         self.sink_blocks = sink_blocks
         self.window_blocks = window_blocks   # max non-sink blocks per seq
+        # content-addressed prefix cache (reference executor
+        # enableBlockReuse): chain-key -> block id. Registered blocks hold
+        # +1 refcount owned by the cache; insertion order is the LRU for
+        # eviction when the free pool runs dry.
+        self.prefix_cache: Dict[tuple, int] = {}
+        self._prefix_of_block: Dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     def blocks_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.block_size)
 
     def can_allocate(self, num_tokens: int) -> bool:
-        return len(self.free) >= self.blocks_needed(num_tokens)
+        return (len(self.free) + len(self.prefix_cache)
+                >= self.blocks_needed(num_tokens))
+
+    def _take_free(self) -> int:
+        """Pop a free block, evicting the oldest cached prefix if dry."""
+        if not self.free:
+            self._reclaim(1)
+        if not self.free:
+            raise RuntimeError("KV pool exhausted")
+        return self.free.pop()
+
+    def _reclaim(self, n: int) -> None:
+        """Evict up to n prefix-cache entries (oldest first)."""
+        for key in list(self.prefix_cache):
+            if n <= 0:
+                break
+            b = self.prefix_cache.pop(key)
+            self._prefix_of_block.pop(b, None)
+            self.ref_counts[b] -= 1
+            if self.ref_counts[b] == 0:
+                self.free.append(b)
+                n -= 1
+
+    # --- prefix caching (reference executor enableBlockReuse) ----------
+    def _keys_for(self, tokens: List[int]) -> List[tuple]:
+        """Chain keys for each FULL block of `tokens`: block i's key
+        commits to the whole prefix, so equal keys => equal KV content."""
+        keys = []
+        prev_key: tuple = ()
+        bs = self.block_size
+        for i in range(len(tokens) // bs):
+            prev_key = (prev_key, tuple(tokens[i * bs:(i + 1) * bs]))
+            keys.append(prev_key)
+        return keys
+
+    def add_sequence_cached(self, seq_id: int, tokens: List[int]
+                            ) -> Tuple["SequenceBlocks", int]:
+        """add_sequence that ADOPTS cached full-prefix blocks whose content
+        matches `tokens` (reference enableBlockReuse). Returns (blocks,
+        cached_token_count); cached blocks are shared read-only (writes
+        only ever target positions beyond them). At least one token is
+        always left uncached so the prefill emits last-position logits."""
+        assert seq_id not in self.seqs
+        keys = self._keys_for(tokens[:len(tokens) - 1])
+        adopted: List[int] = []
+        for key in keys:
+            b = self.prefix_cache.get(key)
+            if b is None:
+                break
+            adopted.append(b)
+        cached = len(adopted) * self.block_size
+        need = self.blocks_needed(max(len(tokens), 1)) - len(adopted)
+        if len(self.free) + len(self.prefix_cache) < need:
+            raise RuntimeError("KV pool exhausted")
+        for b in adopted:
+            self.ref_counts[b] += 1
+        blocks = adopted + [self._take_free() for _ in range(need)]
+        for b in blocks[len(adopted):]:
+            self.ref_counts[b] += 1
+        sb = SequenceBlocks(seq_id, blocks,
+                            [i * self.block_size
+                             for i in range(len(blocks))], len(tokens))
+        self.seqs[seq_id] = sb
+        return sb, cached
+
+    def register_prefix(self, seq_id: int, tokens: List[int],
+                        upto: int) -> None:
+        """Register the sequence's full blocks covering tokens[:upto] in
+        the prefix cache (call after their KV is actually written)."""
+        sb = self.seqs[seq_id]
+        keys = self._keys_for(list(tokens)[:upto])
+        for i, key in enumerate(keys):
+            b = sb.blocks[i]
+            if key in self.prefix_cache or b in self._prefix_of_block:
+                continue
+            self.prefix_cache[key] = b
+            self._prefix_of_block[b] = key
+            self.ref_counts[b] += 1
 
     def add_sequence(self, seq_id: int, num_tokens: int) -> SequenceBlocks:
         assert seq_id not in self.seqs, f"sequence {seq_id} already active"
         n = self.blocks_needed(max(num_tokens, 1))
-        if len(self.free) < n:
+        if not self.can_allocate(max(num_tokens, 1)):
             raise RuntimeError(
                 f"KV pool exhausted: need {n} blocks, have {len(self.free)}")
-        blocks = [self.free.pop() for _ in range(n)]
+        blocks = [self._take_free() for _ in range(n)]
         for b in blocks:
             self.ref_counts[b] += 1
         sb = SequenceBlocks(seq_id, blocks,
@@ -149,9 +232,7 @@ class BlockManager:
                 sb.blocks.append(blk)
                 sb.bases.append(next_base)
                 continue
-            if not self.free:
-                raise RuntimeError("KV pool exhausted during decode")
-            blk = self.free.pop()
+            blk = self._take_free()
             self.ref_counts[blk] += 1
             sb.blocks.append(blk)
             sb.bases.append(next_base)

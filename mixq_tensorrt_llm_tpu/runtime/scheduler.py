@@ -87,6 +87,7 @@ class Executor:
                  window_blocks: Optional[int] = None,
                  logits_processors: Optional[Dict[str, object]] = None,
                  mesh=None,
+                 enable_block_reuse: bool = False,
                  seed: int = 0):
         from ..ops._util import _on_tpu
         from ..quant.config import KVCacheQuantAlgo
@@ -126,10 +127,17 @@ class Executor:
             self.state = psh.shard_paged_state(self.state, mesh)
         from .native import make_block_manager
         import os as _os
+        # prefix caching (reference executor enableBlockReuse): identical
+        # prompt-prefix blocks are adopted instead of re-prefilled. Lives
+        # in the Python manager (content hashing is pure control plane).
+        self.block_reuse = enable_block_reuse
+        if enable_block_reuse:
+            assert not window_blocks, "block reuse + windows unsupported"
         self.bm = make_block_manager(
             num_blocks, block_size,
             sink_blocks=sink_blocks, window_blocks=window_blocks,
-            prefer_native=_os.environ.get("MIXQ_NATIVE", "1") != "0")
+            prefer_native=not enable_block_reuse
+            and _os.environ.get("MIXQ_NATIVE", "1") != "0")
         # StreamingLLM runtime window in TOKENS for the attention masks
         # (reference plugin.py:172 streamingllm; 0 = model default /
         # cfg.sliding_window). Blocks recycle in the manager; positions
@@ -525,7 +533,12 @@ class Executor:
             if not self.bm.can_allocate(len(req.prompt) + 1):
                 break   # FIFO: wait for pages rather than starve long reqs
             self.queue.popleft()
-            self.bm.add_sequence(req.req_id, len(req.prompt))
+            if self.block_reuse:
+                _, cached = self.bm.add_sequence_cached(req.req_id,
+                                                        req.prompt)
+                req.prefill_pos = cached     # adopted blocks skip prefill
+            else:
+                self.bm.add_sequence(req.req_id, len(req.prompt))
             self.prefilling.append(req)
 
     def _history(self, reqs: Sequence[Optional[Request]]) -> np.ndarray:
@@ -618,6 +631,11 @@ class Executor:
         lp_np = np.asarray(lp)
         for i, req in enumerate(lanes):
             req.prefill_pos = int(length[i])
+            if self.block_reuse:
+                # the chunk's KV is now written: its full prompt blocks
+                # become reusable by future identical prefixes
+                self.bm.register_prefix(req.req_id, req.prompt,
+                                        upto=req.prefill_pos)
             if req.prefill_pos >= len(req.prompt):
                 # prefill complete: emit first token, join the decode batch
                 self.prefilling.remove(req)
