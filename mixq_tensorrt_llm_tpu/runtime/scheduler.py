@@ -57,6 +57,7 @@ class Request:
     sampling: Optional[SamplingConfig] = None   # None = executor default
     lora_id: int = 0                            # 0 = base model
     min_new_tokens: int = 0
+    priority: float = 0.5                       # 0..1, higher admits first
     bad_words: Optional[List[List[int]]] = None  # banned token sequences
     logits_processor: Optional[str] = None       # name registered on Executor
     stop_sequences: Optional[List[List[int]]] = None  # suffixes that finish
@@ -441,6 +442,7 @@ class Executor:
                bad_words: Optional[Sequence[Sequence[int]]] = None,
                logits_processor: Optional[str] = None,
                stop_sequences: Optional[Sequence[Sequence[int]]] = None,
+               priority: float = 0.5,
                on_token=None) -> int:
         """Queue a request. `sampling` overrides the executor default for
         this request only (per-request SamplingConfig, reference
@@ -484,6 +486,7 @@ class Executor:
                                   stop_sequences=[list(w) for w in
                                                   stop_sequences]
                                   if stop_sequences else None,
+                                  priority=priority,
                                   on_token=on_token))
         return rid
 
@@ -526,13 +529,17 @@ class Executor:
         return self.max_batch - self.num_active - len(self.prefilling)
 
     def _admit(self) -> None:
-        """Move queued requests into the prefilling set (pages reserved)."""
+        """Move queued requests into the prefilling set (pages reserved).
+
+        Admission order is priority-then-FIFO (reference executor.pyi
+        Request.priority); the chosen head blocks on pages rather than
+        being skipped, so high-priority long requests cannot starve."""
         while (self.queue and self._free_slots() > 0
                and len(self.prefilling) < self.prefill_lanes):
-            req = self.queue[0]
+            req = max(self.queue, key=lambda r: (r.priority, -r.req_id))
             if not self.bm.can_allocate(len(req.prompt) + 1):
-                break   # FIFO: wait for pages rather than starve long reqs
-            self.queue.popleft()
+                break   # wait for pages rather than starve long reqs
+            self.queue.remove(req)
             if self.block_reuse:
                 _, cached = self.bm.add_sequence_cached(req.req_id,
                                                         req.prompt)

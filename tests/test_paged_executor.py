@@ -237,3 +237,22 @@ def test_mesh_sharded_executor_matches_single():
     done = ex.run()
     for r, w in zip(ids2, want):
         assert done[r].generated == w, (done[r].generated, w)
+
+
+def test_priority_admission_order():
+    """Higher-priority requests admit first when slots free up (reference
+    Request.priority); equal priorities stay FIFO."""
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    ex = Executor(params, cfg, max_batch=1, max_seq_len=64, block_size=8,
+                  prefill_chunk=8, prefill_lanes=1, seed=0)
+    low = ex.submit([1, 2, 3], max_new_tokens=2, priority=0.2)
+    mid = ex.submit([4, 5], max_new_tokens=2)
+    high = ex.submit([6, 7], max_new_tokens=2, priority=0.9)
+    done = ex.run()
+    order = sorted(done, key=lambda r: done[r].finish_time)
+    assert order == [high, mid, low]
