@@ -121,8 +121,14 @@ class BlockManager:
     def blocks_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.block_size)
 
+    def _evictable(self) -> int:
+        """Cached blocks owned ONLY by the cache (refcount 1) — the ones
+        eviction can actually return to the free pool."""
+        return sum(1 for b in self._prefix_of_block
+                   if self.ref_counts[b] == 1)
+
     def can_allocate(self, num_tokens: int) -> bool:
-        return (len(self.free) + len(self.prefix_cache)
+        return (len(self.free) + self._evictable()
                 >= self.blocks_needed(num_tokens))
 
     def _take_free(self) -> int:
@@ -134,16 +140,20 @@ class BlockManager:
         return self.free.pop()
 
     def _reclaim(self, n: int) -> None:
-        """Evict up to n prefix-cache entries (oldest first)."""
+        """Evict up to n EXCLUSIVELY cache-owned entries (oldest first);
+        entries whose block is still shared with a live sequence stay
+        cached (evicting them would free nothing and lose reuse)."""
         for key in list(self.prefix_cache):
             if n <= 0:
                 break
-            b = self.prefix_cache.pop(key)
+            b = self.prefix_cache[key]
+            if self.ref_counts[b] != 1:
+                continue
+            del self.prefix_cache[key]
             self._prefix_of_block.pop(b, None)
-            self.ref_counts[b] -= 1
-            if self.ref_counts[b] == 0:
-                self.free.append(b)
-                n -= 1
+            self.ref_counts[b] = 0
+            self.free.append(b)
+            n -= 1
 
     # --- prefix caching (reference executor enableBlockReuse) ----------
     def _keys_for(self, tokens: List[int]) -> List[tuple]:
@@ -174,7 +184,7 @@ class BlockManager:
             adopted.append(b)
         cached = len(adopted) * self.block_size
         need = self.blocks_needed(max(len(tokens), 1)) - len(adopted)
-        if len(self.free) + len(self.prefix_cache) < need:
+        if len(self.free) + self._evictable() < need:
             raise RuntimeError("KV pool exhausted")
         for b in adopted:
             self.ref_counts[b] += 1

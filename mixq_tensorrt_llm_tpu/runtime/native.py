@@ -63,6 +63,14 @@ def load_library() -> ctypes.CDLL:
         lib.mixq_bm_free_sequence.argtypes = [ctypes.c_int64, ctypes.c_int64]
         lib.mixq_bm_rewind.restype = ctypes.c_int32
         lib.mixq_bm_rewind.argtypes = [ctypes.c_int64] * 3
+        lib.mixq_bm_add_sequence_cached.restype = ctypes.c_int32
+        lib.mixq_bm_add_sequence_cached.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.mixq_bm_register_prefix.restype = ctypes.c_int32
+        lib.mixq_bm_register_prefix.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.mixq_bm_fork.restype = ctypes.c_int32
         lib.mixq_bm_fork.argtypes = [ctypes.c_int64] * 3
         lib.mixq_bm_block_table.restype = ctypes.c_int32
@@ -145,6 +153,26 @@ class NativeBlockManager:
         if code == -3:
             raise RuntimeError("KV pool exhausted during decode")
         _check(code, "extend")
+
+    def add_sequence_cached(self, seq_id: int, tokens) -> tuple:
+        """Adopt cached full-prefix blocks matching `tokens` (reference
+        enableBlockReuse). Returns (None, cached_token_count) — callers
+        only consume the count; block tables come from block_table()."""
+        arr = np.ascontiguousarray(np.asarray(tokens, np.int64))
+        code = self._lib.mixq_bm_add_sequence_cached(
+            self._h, seq_id,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(arr))
+        if code == -3:
+            raise RuntimeError("KV pool exhausted (add_sequence_cached)")
+        _check(code, "add_sequence_cached")
+        return None, int(code)
+
+    def register_prefix(self, seq_id: int, tokens, upto: int) -> None:
+        arr = np.ascontiguousarray(np.asarray(tokens, np.int64))
+        _check(self._lib.mixq_bm_register_prefix(
+            self._h, seq_id,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            min(upto, len(arr))), "register_prefix")
 
     def rewind(self, seq_id: int, new_length: int) -> None:
         """Shrink to new_length tokens, freeing tail blocks beyond it

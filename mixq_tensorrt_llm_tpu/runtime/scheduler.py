@@ -129,16 +129,15 @@ class Executor:
         from .native import make_block_manager
         import os as _os
         # prefix caching (reference executor enableBlockReuse): identical
-        # prompt-prefix blocks are adopted instead of re-prefilled. Lives
-        # in the Python manager (content hashing is pure control plane).
+        # prompt-prefix blocks are adopted instead of re-prefilled
+        # (content chain-hashing in both the Python and C++ managers).
         self.block_reuse = enable_block_reuse
         if enable_block_reuse:
             assert not window_blocks, "block reuse + windows unsupported"
         self.bm = make_block_manager(
             num_blocks, block_size,
             sink_blocks=sink_blocks, window_blocks=window_blocks,
-            prefer_native=not enable_block_reuse
-            and _os.environ.get("MIXQ_NATIVE", "1") != "0")
+            prefer_native=_os.environ.get("MIXQ_NATIVE", "1") != "0")
         # StreamingLLM runtime window in TOKENS for the attention masks
         # (reference plugin.py:172 streamingllm; 0 = model default /
         # cfg.sliding_window). Blocks recycle in the manager; positions

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <list>
 #include <mutex>
 #include <unordered_map>
 #include <vector>
@@ -35,7 +36,50 @@ struct Manager {
   std::vector<int32_t> free_list;
   std::vector<int32_t> ref_counts;
   std::unordered_map<int64_t, Sequence> seqs;
+  // content-addressed prefix cache (reference executor enableBlockReuse):
+  // chain-key -> block id; lru holds insertion order for eviction.
+  std::unordered_map<uint64_t, int32_t> prefix_cache;
+  std::unordered_map<int32_t, uint64_t> prefix_of_block;
+  std::list<uint64_t> prefix_lru;
 };
+
+uint64_t chain_hash(uint64_t prev, const int64_t* toks, int32_t n) {
+  uint64_t hsh = prev * 1099511628211ULL + 14695981039346656037ULL;
+  for (int32_t i = 0; i < n; ++i)
+    hsh = (hsh ^ static_cast<uint64_t>(toks[i])) * 1099511628211ULL;
+  return hsh;
+}
+
+void reclaim(Manager& m, int32_t n) {
+  // evict only EXCLUSIVELY cache-owned entries (refcount 1); shared ones
+  // stay cached — evicting them frees nothing and loses reuse
+  for (auto it = m.prefix_lru.begin(); n > 0 && it != m.prefix_lru.end();) {
+    auto pit = m.prefix_cache.find(*it);
+    if (pit == m.prefix_cache.end()) {
+      it = m.prefix_lru.erase(it);
+      continue;
+    }
+    int32_t b = pit->second;
+    if (m.ref_counts[b] != 1) {
+      ++it;
+      continue;
+    }
+    m.prefix_cache.erase(pit);
+    m.prefix_of_block.erase(b);
+    m.ref_counts[b] = 0;
+    m.free_list.push_back(b);
+    it = m.prefix_lru.erase(it);
+    --n;
+  }
+}
+
+int32_t take_free(Manager& m) {
+  if (m.free_list.empty()) reclaim(m, 1);
+  if (m.free_list.empty()) return -1;
+  int32_t b = m.free_list.back();
+  m.free_list.pop_back();
+  return b;
+}
 
 std::mutex g_mu;
 std::unordered_map<int64_t, Manager> g_managers;
@@ -48,6 +92,13 @@ Manager* get(int64_t h) {
 
 int32_t blocks_needed(const Manager& m, int64_t tokens) {
   return static_cast<int32_t>((tokens + m.block_size - 1) / m.block_size);
+}
+
+int64_t allocatable(const Manager& m) {
+  int64_t evictable = 0;
+  for (const auto& kv : m.prefix_of_block)
+    if (m.ref_counts[kv.first] == 1) ++evictable;
+  return static_cast<int64_t>(m.free_list.size()) + evictable;
 }
 
 }  // namespace
@@ -88,10 +139,7 @@ int32_t mixq_bm_can_allocate(int64_t h, int64_t num_tokens) {
   std::lock_guard<std::mutex> lock(g_mu);
   Manager* m = get(h);
   if (!m) return 0;
-  return m->free_list.size() >=
-                 static_cast<size_t>(blocks_needed(*m, num_tokens))
-             ? 1
-             : 0;
+  return allocatable(*m) >= blocks_needed(*m, num_tokens) ? 1 : 0;
 }
 
 // 0 on success; -1 unknown handle; -2 seq exists; -3 pool exhausted.
@@ -101,19 +149,84 @@ int32_t mixq_bm_add_sequence(int64_t h, int64_t seq_id, int64_t num_tokens) {
   if (!m) return -1;
   if (m->seqs.count(seq_id)) return -2;
   int32_t need = blocks_needed(*m, num_tokens < 1 ? 1 : num_tokens);
-  if (m->free_list.size() < static_cast<size_t>(need)) return -3;
+  if (allocatable(*m) < need) return -3;
   Sequence s;
   s.length = num_tokens;
   s.blocks.reserve(need);
   s.bases.reserve(need);
   for (int32_t i = 0; i < need; ++i) {
-    int32_t b = m->free_list.back();
-    m->free_list.pop_back();
+    int32_t b = take_free(*m);
+    if (b < 0) return -3;
     m->ref_counts[b]++;
     s.blocks.push_back(b);
     s.bases.push_back(i * m->block_size);
   }
   m->seqs.emplace(seq_id, std::move(s));
+  return 0;
+}
+
+// add_sequence adopting cached full-prefix blocks whose chain hash over
+// `tokens` matches (reference enableBlockReuse). At least one trailing
+// token stays uncached. Returns cached token count, or <0 on error.
+int32_t mixq_bm_add_sequence_cached(int64_t h, int64_t seq_id,
+                                    const int64_t* tokens,
+                                    int64_t num_tokens) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  if (m->seqs.count(seq_id)) return -2;
+  int32_t bs = m->block_size;
+  int64_t matchable = num_tokens - 1;   // keep >=1 token uncached
+  std::vector<int32_t> adopted;
+  uint64_t key = 0;
+  for (int64_t i = 0; (i + 1) * bs <= matchable; ++i) {
+    key = chain_hash(key, tokens + i * bs, bs);
+    auto it = m->prefix_cache.find(key);
+    if (it == m->prefix_cache.end()) break;
+    adopted.push_back(it->second);
+  }
+  int32_t need = blocks_needed(*m, num_tokens < 1 ? 1 : num_tokens) -
+                 static_cast<int32_t>(adopted.size());
+  if (allocatable(*m) < need) return -3;
+  Sequence s;
+  s.length = num_tokens;
+  for (int32_t b : adopted) {
+    m->ref_counts[b]++;
+    s.blocks.push_back(b);
+  }
+  for (int32_t i = 0; i < need; ++i) {
+    int32_t b = take_free(*m);
+    if (b < 0) return -3;
+    m->ref_counts[b]++;
+    s.blocks.push_back(b);
+  }
+  for (size_t i = 0; i < s.blocks.size(); ++i)
+    s.bases.push_back(static_cast<int32_t>(i) * bs);
+  m->seqs.emplace(seq_id, std::move(s));
+  return static_cast<int32_t>(adopted.size()) * bs;
+}
+
+// Register the sequence's full blocks covering tokens[:upto] (call after
+// their KV is written). 0 on success.
+int32_t mixq_bm_register_prefix(int64_t h, int64_t seq_id,
+                                const int64_t* tokens, int64_t upto) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  if (!m) return -1;
+  auto it = m->seqs.find(seq_id);
+  if (it == m->seqs.end()) return -2;
+  Sequence& s = it->second;
+  int32_t bs = m->block_size;
+  uint64_t key = 0;
+  for (int64_t i = 0; (i + 1) * bs <= upto; ++i) {
+    key = chain_hash(key, tokens + i * bs, bs);
+    int32_t b = s.blocks[i];
+    if (m->prefix_cache.count(key) || m->prefix_of_block.count(b)) continue;
+    m->prefix_cache.emplace(key, b);
+    m->prefix_of_block.emplace(b, key);
+    m->prefix_lru.push_back(key);
+    m->ref_counts[b]++;
+  }
   return 0;
 }
 
@@ -141,9 +254,8 @@ int32_t mixq_bm_extend(int64_t h, int64_t seq_id, int64_t new_tokens) {
       s.bases.push_back(next_base);
       continue;
     }
-    if (m->free_list.empty()) return -3;
-    int32_t b = m->free_list.back();
-    m->free_list.pop_back();
+    int32_t b = take_free(*m);
+    if (b < 0) return -3;
     m->ref_counts[b]++;
     s.blocks.push_back(b);
     s.bases.push_back(next_base);

@@ -111,3 +111,28 @@ def test_executor_reuse_shared_prefix_divergent_tail(setup):
     b = ex.submit(p2, max_new_tokens=6)
     got = ex.run()[b].generated
     assert got == want
+
+
+def test_native_manager_reuse_matches_python():
+    from mixq_tensorrt_llm_tpu.runtime.native import (NativeBlockManager,
+                                                      native_available)
+    if not native_available():
+        pytest.skip("no native toolchain")
+    toks = list(range(11))
+    py = BlockManager(10, 4)
+    py.add_sequence(1, len(toks))
+    py.register_prefix(1, toks, upto=11)
+    _, py_cached = py.add_sequence_cached(2, toks + [42])
+
+    nat = NativeBlockManager(10, 4)
+    nat.add_sequence(1, len(toks))
+    nat.register_prefix(1, toks, upto=11)
+    _, nat_cached = nat.add_sequence_cached(2, toks + [42])
+    assert nat_cached == py_cached == 8
+    np.testing.assert_array_equal(py.block_table([2], 4),
+                                  nat.block_table([2], 4))
+    # divergent block stops adoption in both
+    other = toks[:4] + [99] + toks[5:] + [1]
+    _, pc = py.add_sequence_cached(3, other)
+    _, nc = nat.add_sequence_cached(3, other)
+    assert pc == nc == 4
