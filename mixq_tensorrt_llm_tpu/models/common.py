@@ -159,6 +159,8 @@ class ModelConfig:
             d["dtype"] = jnp.dtype(d["dtype"]).type
         if "quant" in d and not isinstance(d["quant"], QuantConfig):
             d["quant"] = QuantConfig.from_dict(d["quant"])
+        if "rope_freq_factors" in d:   # JSON round-trips tuples as lists
+            d["rope_freq_factors"] = tuple(d["rope_freq_factors"])
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
@@ -850,7 +852,8 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
             write_pos: jax.Array, cache: KVCache, kv_valid_len: jax.Array,
             collect_stats: bool = False, full_prefill: bool = False,
             outlier_state: Optional[Dict] = None, lora_ids=None,
-            attn_mask=None, return_hidden: bool = False):
+            attn_mask=None, return_hidden: bool = False,
+            rope_pos: Optional[jax.Array] = None):
     """Full decoder forward.
 
     tokens:       (B, S) int32
@@ -862,6 +865,10 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                   the updated state is returned after the cache.
     attn_mask:    optional (B, 1, S, Smax) bool mask overriding the causal
                   construction (Medusa tree verification, runtime/medusa.py)
+    rope_pos:     optional (B, S) TRUE token positions for RoPE/learned
+                  embeddings when they differ from the cache slots
+                  (tree/beam verification: a node sits at slot
+                  t+row but position t+depth)
     return_hidden: also return the pre-final-norm hidden states (B, S, H)
                   as the LAST element (Medusa heads input).
     Returns (logits (B, S, vocab) float32, updated cache
@@ -875,8 +882,10 @@ def forward(params: Dict, cfg: ModelConfig, tokens: jax.Array,
         mod = mamba if cfg.arch == "mamba" else recurrentgemma
         return mod.forward(params, cfg, tokens, write_pos, cache,
                            kv_valid_len, full_prefill=full_prefill)
-    x = _embed(params, cfg, tokens, write_pos)
-    sin, cos, alibi = _positional_arrays(cfg, write_pos)
+    x = _embed(params, cfg, tokens,
+               write_pos if rope_pos is None else rope_pos)
+    sin, cos, alibi = _positional_arrays(
+        cfg, write_pos if rope_pos is None else rope_pos)
 
     layer_cache_struct = {"k": cache.k, "v": cache.v}
     if cache.quantized:
@@ -971,9 +980,9 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     window/sink: StreamingLLM runtime window in tokens (0 = model default)
     Returns (logits, updated PagedKVState).
     """
-    if cfg.arch == "mamba":
+    if cfg.arch in ("mamba", "recurrentgemma"):
         raise NotImplementedError(
-            "mamba state is O(1) per sequence — use GenerationSession "
+            f"{cfg.arch} carries recurrent state — use GenerationSession "
             "(dense path); the paged executor has nothing to page")
     from ..runtime.kv_cache import PagedKVState
     from ..quant import dynamic as qdyn

@@ -177,7 +177,7 @@ def medusa_generate(params: Dict, cfg: ModelConfig, heads: Optional[Dict],
         logits, cache, hidden = mcommon.forward(
             params, cfg, tree_tokens, slots, cache,
             jnp.full((1,), t + n + 1, jnp.int32), attn_mask=mask,
-            return_hidden=True)
+            return_hidden=True, rope_pos=pos)
         return logits, cache, hidden
 
     @jax.jit

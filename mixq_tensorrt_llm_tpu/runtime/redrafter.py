@@ -190,7 +190,8 @@ def redrafter_generate(params: Dict, cfg: ModelConfig,
         mask = hist | (in_blk & blk)
         return mcommon.forward(params, cfg, rows, slots, cache,
                                jnp.full((1,), t + n + 1, jnp.int32),
-                               attn_mask=mask, return_hidden=True)
+                               attn_mask=mask, return_hidden=True,
+                               rope_pos=pos)
 
     @jax.jit
     def compact(cache, slot_path, t):

@@ -102,6 +102,7 @@ class Executor:
         if _on_tpu() and prefill_chunk % block_size != 0:
             # the chunk-write kernel needs page-aligned chunks
             prefill_chunk = -(-prefill_chunk // block_size) * block_size
+        window_blocks = window_blocks or None   # 0 == unwindowed
         # multi-device serving: a jax.sharding.Mesh with a 'tp' axis (and
         # optionally 'pp') shards the weights (parallel/sharding.py specs)
         # and the paged pools (KV-head axis on 'tp'); GSPMD partitions the
@@ -358,8 +359,10 @@ class Executor:
             if r is not None:
                 assert (r.sampling or self.sampling).is_greedy, \
                     "speculative decoding is greedy-only"
-                assert not r.bad_words and r.logits_processor is None, \
-                    "per-request logits controls unsupported in spec mode"
+                assert not r.bad_words and r.logits_processor is None \
+                    and r.min_new_tokens == 0, \
+                    "per-request logits controls (bad_words/processors/" \
+                    "min_new_tokens) unsupported in spec mode"
 
         key = (id(draft_cfg), gamma)
         if key not in self._spec_fns:
@@ -387,6 +390,13 @@ class Executor:
         g1 = gamma + 1
         self.spec_rounds = 0
         while self.num_active > 0:
+            live = [r for r in self.slots if r is not None]
+            if any(len(r.sequence) + gamma > self.max_seq_len
+                   for r in live):
+                # a lane within gamma tokens of the context cap cannot
+                # absorb a whole verify chunk: finish it with plain steps
+                self.step()
+                continue
             self.spec_rounds += 1
             active = [(i, r) for i, r in enumerate(self.slots)
                       if r is not None]

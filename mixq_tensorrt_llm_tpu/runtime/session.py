@@ -137,6 +137,9 @@ class GenerationSession:
         there.
         """
         if num_beams > 1:
+            if bad_words or logits_processors:
+                raise ValueError("bad_words/logits_processors are not "
+                                 "supported with beam search")
             from .beam import paged_beam_search
             res = paged_beam_search(
                 self.params, self.cfg, [list(p) for p in prompts],

@@ -64,12 +64,7 @@ class InferenceServer:
             ids = list(prompt)
         eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
                if use_eos else None)
-        if bad_words:   # strings tokenize; token-id lists pass through
-            assert not any(isinstance(w, str) for w in bad_words) \
-                or self.llm.tokenizer is not None, "no tokenizer in checkpoint"
-            bad_words = [
-                self.llm.tokenizer(w, add_special_tokens=False)["input_ids"]
-                if isinstance(w, str) else list(w) for w in bad_words]
+        bad_words = self._tokenize_words(bad_words)
         ev = threading.Event()
         with self._lock:
             rid = self.executor.submit(ids, max_new_tokens=max_new_tokens,
@@ -98,6 +93,15 @@ class InferenceServer:
             },
         }
 
+    def _tokenize_words(self, words):
+        """Strings tokenize (no special tokens); token-id lists pass."""
+        if not words:
+            return words
+        assert not any(isinstance(w, str) for w in words) \
+            or self.llm.tokenizer is not None, "no tokenizer in checkpoint"
+        return [self.llm.tokenizer(w, add_special_tokens=False)["input_ids"]
+                if isinstance(w, str) else list(w) for w in words]
+
     def generate_stream(self, prompt, max_new_tokens: int = 64,
                         use_eos: bool = True, timeout: float = 600.0,
                         sampling=None, min_new_tokens: int = 0,
@@ -114,6 +118,7 @@ class InferenceServer:
         eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
                if use_eos else None)
         q: "queue.Queue" = queue.Queue()
+        bad_words = self._tokenize_words(bad_words)
         with self._lock:
             rid = self.executor.submit(
                 ids, max_new_tokens=max_new_tokens, eos_token_id=eos,

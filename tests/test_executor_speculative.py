@@ -181,3 +181,18 @@ def test_speculative_on_tp_mesh(setup):
     done = ex.run_speculative(draft_params, draft_cfg, gamma=3)
     assert done[a2].generated == want[a]
     assert done[b2].generated == want[b]
+
+
+def test_spec_near_context_cap_finishes(setup):
+    """Lanes within gamma tokens of max_seq_len fall back to plain steps
+    instead of overflowing the per-sequence block budget."""
+    params, cfg, draft_params, draft_cfg = setup
+    kw = dict(max_batch=1, max_seq_len=24, block_size=8, prefill_chunk=8)
+    plain = Executor(params, cfg, seed=0, **kw)
+    r = plain.submit([3, 1, 4], max_new_tokens=21)   # 3 + 21 == cap
+    want = plain.run()[r].generated
+
+    ex = Executor(params, cfg, seed=0, **kw)
+    a = ex.submit([3, 1, 4], max_new_tokens=21)
+    done = ex.run_speculative(draft_params, draft_cfg, gamma=4)
+    assert done[a].generated == want

@@ -125,3 +125,71 @@ def test_llm_api_surface():
                                          max_new_tokens=5, num_beams=2,
                                          draft_len=2)
     assert len(toks) == 8 and stats.tokens == 5
+
+
+def test_oracle_in_beam1_matches_greedy():
+    """Beam 1 (not beam 0) carries the true continuation: its rows sit at
+    KV slots offset by draft_len, exercising the slot/position decoupling
+    (rope_pos); bit-exactness of off-slot rows is pinned separately by
+    test_verify_rows_match_decode_logits."""
+    cfg = tiny()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    prompt = list(range(1, 9))
+    n, lc = 12, 3
+    want = greedy_baseline(cfg, params, prompt, n + lc + 1)
+    gen = want[len(prompt):]
+
+    state = {"count": 0}
+
+    def oracle(hidden, next_tok, step):
+        start = gen.index(next_tok, state["count"]) + 1 \
+            if next_tok in gen[state["count"]:] else len(gen)
+        row = gen[start:start + lc] + [0] * max(0, lc - len(gen) + start)
+        beams = np.zeros((3, lc), np.int32)
+        beams[1] = row[:lc]          # true continuation in beam ONE
+        state["count"] = start + lc
+        return beams
+
+    got, stats = redrafter_generate(params, cfg, None, prompt, n,
+                                    num_beams=3, draft_len=lc,
+                                    draft_fn=oracle)
+    assert got == want[:len(prompt) + n]
+    assert stats.tokens_per_step > lc    # full beam-1 acceptance
+
+
+def test_verify_rows_match_decode_logits():
+    """Verify-style rows written at slots != positions must reproduce the
+    plain sequential decode logits EXACTLY — rope must rotate by the TRUE
+    position (rope_pos), not the cache slot (the pre-fix behavior drifted
+    ~4e-3 per slot of offset and grew with scale)."""
+    from mixq_tensorrt_llm_tpu.models import common as mcommon
+    cfg = tiny()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    prompt = np.arange(1, 9, dtype=np.int32)
+    s0 = len(prompt)
+    cache = mcommon.init_kv_cache(cfg, 1, 32)
+    lg, cache = mcommon.forward(
+        params, cfg, jnp.asarray(prompt[None]),
+        jnp.arange(s0)[None], cache, jnp.full((1,), s0, jnp.int32))
+    t0 = int(jnp.argmax(lg[0, -1]))
+    toks, truth, c = [t0], [], cache
+    for j in range(3):
+        lgj, c = mcommon.forward(params, cfg, jnp.asarray([[toks[-1]]]),
+                                 jnp.full((1, 1), s0 + j, jnp.int32), c,
+                                 jnp.full((1,), s0 + j + 1, jnp.int32))
+        truth.append(np.asarray(lgj[0, 0]))
+        toks.append(int(np.argmax(truth[-1])))
+
+    rows = jnp.asarray([[t0, toks[1], toks[2]]], jnp.int32)
+    slots = jnp.arange(3, dtype=jnp.int32)[None] + s0 + 3   # offset slots
+    posr = jnp.arange(3, dtype=jnp.int32)[None] + s0        # true positions
+    smax = cache.k.shape[2]
+    hist = jnp.arange(smax)[None, None, None, :] < s0
+    blk = jnp.tril(jnp.ones((3, 3), bool))
+    mask = hist | jnp.zeros((1, 1, 3, smax), bool
+                            ).at[:, :, :, s0 + 3:s0 + 6].set(blk)
+    out, _ = mcommon.forward(params, cfg, rows, slots, cache,
+                             jnp.full((1,), s0 + 6, jnp.int32),
+                             attn_mask=mask, rope_pos=posr)
+    for j in range(3):
+        np.testing.assert_array_equal(np.asarray(out[0, j]), truth[j])

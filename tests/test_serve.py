@@ -122,3 +122,20 @@ def test_generate_stream_tokens(server):
     toks = [l["token"] for l in lines if "token" in l]
     assert toks == base["tokens"]
     assert lines[-1]["done"] and lines[-1]["generated_tokens"] == 6
+
+
+def test_stream_with_bad_words(server):
+    """/generate_stream accepts bad_words (token lists here) without
+    killing the stepper thread and the ban holds."""
+    base = _post(server, {"prompt": [1, 2, 3], "max_new_tokens": 6,
+                          "eos": False})
+    tok = base["tokens"][1]
+    req = urllib.request.Request(
+        server + "/generate_stream",
+        json.dumps({"prompt": [1, 2, 3], "max_new_tokens": 6,
+                    "eos": False, "bad_words": [[tok]]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        lines = [json.loads(l) for l in r.read().decode().splitlines() if l]
+    toks = [l["token"] for l in lines if "token" in l]
+    assert tok not in toks and len(toks) == 6
