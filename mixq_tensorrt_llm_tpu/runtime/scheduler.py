@@ -49,6 +49,26 @@ HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
 
 
 @dataclasses.dataclass
+class IterationStats:
+    """Per-step serving telemetry (reference bindings/executor.pyi
+    IterationStats / get_latest_iteration_stats)."""
+    iter_id: int
+    timestamp: float
+    step_time_s: float
+    num_active: int
+    num_queued: int
+    num_prefilling: int
+    tokens_produced: int
+    kv_free_blocks: int
+    kv_total_blocks: int
+
+    @property
+    def kv_cache_usage(self) -> float:
+        usable = max(self.kv_total_blocks - 1, 1)   # minus trash block
+        return 1.0 - self.kv_free_blocks / usable
+
+
+@dataclasses.dataclass
 class Request:
     req_id: int
     prompt: List[int]
@@ -278,6 +298,8 @@ class Executor:
         self._make_burst = make_burst_fn
         self._burst_fns = {}
         self._spec_fns = {}     # (id(draft_cfg), gamma) -> jitted fns
+        self.iteration_stats: deque = deque(maxlen=1000)
+        self._iter_id = 0
 
     # ------------------------------------------------------------------
     def _make_spec_fns(self, draft_cfg: ModelConfig, gamma: int):
@@ -686,10 +708,26 @@ class Executor:
         self.slots[self.slots.index(req)] = None
 
     # ------------------------------------------------------------------
+    def get_latest_iteration_stats(self, n: int = 1):
+        """Last n IterationStats (reference get_latest_iteration_stats)."""
+        return list(self.iteration_stats)[-n:]
+
+    def _record_stats(self, t0: float, produced: int) -> None:
+        self._iter_id += 1
+        self.iteration_stats.append(IterationStats(
+            iter_id=self._iter_id, timestamp=time.time(),
+            step_time_s=time.perf_counter() - t0,
+            num_active=self.num_active, num_queued=len(self.queue),
+            num_prefilling=len(self.prefilling),
+            tokens_produced=produced,
+            kv_free_blocks=self.bm.num_free,
+            kv_total_blocks=self.bm.num_blocks))
+
     def step(self) -> int:
         """Admit + one prefill chunk + one batched decode step.
 
         Returns tokens produced (decode lanes + completed prefills)."""
+        t0 = time.perf_counter()
         self._admit()
         produced_before = sum(len(r.generated) for r in self.slots
                               if r is not None)
@@ -698,6 +736,7 @@ class Executor:
                                if r is not None) - produced_before
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
+            self._record_stats(t0, produced_prefill)
             return produced_prefill
 
         tokens = np.zeros((self.max_batch, 1), np.int32)
@@ -739,6 +778,7 @@ class Executor:
         lp_np = np.asarray(lp)
         for i, req in active:
             self._append_token(req, int(next_np[i]), float(lp_np[i]))
+        self._record_stats(t0, len(active) + produced_prefill)
         return len(active) + produced_prefill
 
     def step_burst(self, k: int) -> int:

@@ -256,3 +256,25 @@ def test_priority_admission_order():
     done = ex.run()
     order = sorted(done, key=lambda r: done[r].finish_time)
     assert order == [high, mid, low]
+
+
+def test_iteration_stats():
+    """Per-step telemetry (reference IterationStats): counts, kv usage,
+    step time recorded every step()."""
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=64, block_size=8,
+                  prefill_chunk=8, seed=0)
+    ex.submit([1, 2, 3], max_new_tokens=5)
+    ex.submit([4, 5], max_new_tokens=3)
+    ex.run()
+    stats = ex.get_latest_iteration_stats(100)
+    assert len(stats) >= 4
+    assert sum(s.tokens_produced for s in stats) == 8
+    assert all(s.step_time_s > 0 for s in stats)
+    assert 0.0 <= stats[0].kv_cache_usage <= 1.0
+    assert stats[0].num_active + stats[0].num_prefilling >= 1
