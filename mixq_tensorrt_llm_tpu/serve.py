@@ -167,10 +167,21 @@ def make_handler(server: InferenceServer):
         def do_GET(self):
             if self.path == "/health":
                 with server._lock:
-                    active = server.executor.num_active
-                    queued = len(server.executor.queue)
-                self._json(200, {"status": "ok", "active": active,
-                                 "queued": queued})
+                    ex = server.executor
+                    st = ex.get_latest_iteration_stats(20)
+                    payload = {"status": "ok", "active": ex.num_active,
+                               "queued": len(ex.queue),
+                               "prefilling": len(ex.prefilling)}
+                    if st:
+                        dt = sum(x.step_time_s for x in st)
+                        payload.update(
+                            kv_cache_usage=round(st[-1].kv_cache_usage, 4),
+                            recent_tokens_per_s=round(
+                                sum(x.tokens_produced for x in st)
+                                / max(dt, 1e-9), 1),
+                            last_step_ms=round(
+                                st[-1].step_time_s * 1e3, 2))
+                self._json(200, payload)
             else:
                 self._json(404, {"error": "not found"})
 
