@@ -155,6 +155,10 @@ class BlockManager:
             self.free.append(b)
             n -= 1
 
+    @property
+    def prefix_cache_size(self) -> int:
+        return len(self.prefix_cache)
+
     # --- prefix caching (reference executor enableBlockReuse) ----------
     def _keys_for(self, tokens: List[int]) -> List[tuple]:
         """Chain keys for each FULL block of `tokens`: block i's key

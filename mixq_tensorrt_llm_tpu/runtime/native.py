@@ -53,6 +53,8 @@ def load_library() -> ctypes.CDLL:
         lib.mixq_bm_destroy.argtypes = [ctypes.c_int64]
         lib.mixq_bm_num_free.restype = ctypes.c_int32
         lib.mixq_bm_num_free.argtypes = [ctypes.c_int64]
+        lib.mixq_bm_prefix_cache_size.restype = ctypes.c_int32
+        lib.mixq_bm_prefix_cache_size.argtypes = [ctypes.c_int64]
         lib.mixq_bm_can_allocate.restype = ctypes.c_int32
         lib.mixq_bm_can_allocate.argtypes = [ctypes.c_int64, ctypes.c_int64]
         lib.mixq_bm_add_sequence.restype = ctypes.c_int32
@@ -173,6 +175,10 @@ class NativeBlockManager:
             self._h, seq_id,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             min(upto, len(arr))), "register_prefix")
+
+    @property
+    def prefix_cache_size(self) -> int:
+        return int(self._lib.mixq_bm_prefix_cache_size(self._h))
 
     def rewind(self, seq_id: int, new_length: int) -> None:
         """Shrink to new_length tokens, freeing tail blocks beyond it

@@ -129,6 +129,12 @@ void mixq_bm_destroy(int64_t h) {
   g_managers.erase(h);
 }
 
+int32_t mixq_bm_prefix_cache_size(int64_t h) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  Manager* m = get(h);
+  return m ? static_cast<int32_t>(m->prefix_cache.size()) : -1;
+}
+
 int32_t mixq_bm_num_free(int64_t h) {
   std::lock_guard<std::mutex> lock(g_mu);
   Manager* m = get(h);

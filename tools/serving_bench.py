@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--burst", type=int, default=16)
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--block_reuse", action="store_true",
+                    help="shared-prompt workload through the prefix cache")
+    ap.add_argument("--speculative", action="store_true",
+                    help="self-draft run_speculative (acceptance upper "
+                         "bound; reports tokens/round)")
+    ap.add_argument("--gamma", type=int, default=4)
     args = ap.parse_args()
 
     from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
@@ -50,10 +56,11 @@ def main():
     print(f"params staged in {time.time()-t0:.0f}s", file=sys.stderr,
           flush=True)
 
-    max_seq = args.prompt + args.gen + args.burst + 8
+    max_seq = args.prompt + args.gen + max(args.burst, args.gamma + 1) + 8
     ex = Executor(params, cfg, max_batch=args.max_batch,
                   max_seq_len=max_seq, block_size=128, prefill_chunk=256,
-                  prefill_lanes=4, seed=0)
+                  prefill_lanes=4, seed=0,
+                  enable_block_reuse=args.block_reuse)
     rng = np.random.default_rng(0)
 
     # warmup: compile/load all three programs (prefill chunk, decode step,
@@ -63,12 +70,21 @@ def main():
     ex.run(burst=args.burst)
     print("warm", file=sys.stderr, flush=True)
 
+    shared = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
+
+    def prompt_for(i):
+        # block-reuse mode: all requests share the prompt (system-prompt
+        # workload); otherwise independent random prompts
+        return list(shared) if args.block_reuse else rng.integers(
+            1, cfg.vocab_size, args.prompt).tolist()
+
     t0 = time.time()
-    rids = [ex.submit(rng.integers(1, cfg.vocab_size,
-                                   args.prompt).tolist(),
-                      max_new_tokens=args.gen)
-            for _ in range(args.requests)]
-    done = ex.run(burst=args.burst)
+    rids = [ex.submit(prompt_for(i), max_new_tokens=args.gen)
+            for i in range(args.requests)]
+    if args.speculative:
+        done = ex.run_speculative(params, cfg, gamma=args.gamma)
+    else:
+        done = ex.run(burst=args.burst)
     wall = time.time() - t0
 
     gen_total = sum(len(done[r].generated) for r in rids)
@@ -81,6 +97,11 @@ def main():
         "gen_tok_s": round(gen_total / wall, 1),
         "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
         "ttft_p99_s": round(ttfts[-1], 2),
+        **({"spec_rounds": ex.spec_rounds,
+            "tokens_per_round": round(gen_total / max(ex.spec_rounds, 1),
+                                      2)} if args.speculative else {}),
+        **({"prefix_cache_blocks": ex.bm.prefix_cache_size}
+           if args.block_reuse else {}),
     }), flush=True)
 
 
