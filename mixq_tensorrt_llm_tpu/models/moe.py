@@ -92,9 +92,15 @@ def moe_mlp(cfg: ModelConfig, moe_params: Dict, x: jax.Array,
                  "shared_gate": {"w" (H, 1)}} — an always-on dense expert
     whose output is sigmoid-gated and added to the routed mix.
     """
-    if ragged is None:
-        ragged = _use_ragged()
-    out = (_moe_mlp_ragged if ragged else _moe_mlp_dense)(cfg, moe_params, x)
+    from ..parallel import expert as ep_ctx
+    if ep_ctx.active_ep() is not None:
+        mesh, axis = ep_ctx.active_ep()
+        out = ep_ctx.moe_mlp_ep(cfg, moe_params, x, mesh, axis=axis)
+    else:
+        if ragged is None:
+            ragged = _use_ragged()
+        out = (_moe_mlp_ragged if ragged
+               else _moe_mlp_dense)(cfg, moe_params, x)
     if "shared_gate_up" in moe_params:
         from ..ops import dispatch
         algo = cfg.module_algo("gate_up_proj")

@@ -224,3 +224,38 @@ class TestRaggedDispatch:
         out = f(params, x)
         assert out.shape == x.shape
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_expert_parallel_ragged_matches_dense():
+    """shard_map ragged EP over a 4-way mesh == single-device dense MoE:
+    each shard only runs its local experts over its routed pairs, the
+    psum combine restores the full mixture."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mixq_tensorrt_llm_tpu.models import ModelConfig
+    from mixq_tensorrt_llm_tpu.models import moe as moe_mod
+    from mixq_tensorrt_llm_tpu.parallel import expert as ep
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_layers=1, num_heads=4, num_kv_heads=4, head_dim=8,
+                      num_experts=8, top_k_experts=2)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    moe_params = {
+        "router": {"w": jax.random.normal(ks[0], (32, 8)) * 0.3},
+        "gate_up": {"w": jax.random.normal(ks[1], (8, 32, 96)) * 0.05},
+        "down": {"w": jax.random.normal(ks[2], (8, 48, 32)) * 0.05},
+    }
+    x = jax.random.normal(ks[3], (2, 6, 32), jnp.float32)
+
+    want = moe_mod._moe_mlp_dense(cfg, moe_params, x)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    got = ep.moe_mlp_ep(cfg, moe_params, x, mesh)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    # the trace-time switch routes moe_mlp through the EP path
+    with ep.use_expert_parallel(mesh):
+        got2 = moe_mod.moe_mlp(cfg, moe_params, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
