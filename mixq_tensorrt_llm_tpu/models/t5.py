@@ -22,6 +22,7 @@ wo weight-only), the tiny relative-bias table stays float.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
@@ -262,6 +263,23 @@ def decode(params: Dict, cfg: T5Config, dec_tokens: jax.Array,
     return logits.astype(jnp.float32), self_k, self_v
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _enc_jit(params, tokens, lens, cfg):
+    return encode(params, cfg, tokens, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ckv_jit(params, enc_hidden, cfg):
+    return cross_kv(params, cfg, enc_hidden)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4))
+def _dec_jit(params, dec_tokens, positions, self_k, self_v, kv_valid,
+             enc_k, enc_v, enc_lens, cfg):
+    return decode(params, cfg, dec_tokens, positions, self_k, self_v,
+                  kv_valid, enc_k, enc_v, enc_lens)
+
+
 def t5_generate(params: Dict, cfg: T5Config,
                 input_ids: Sequence[Sequence[int]],
                 max_new_tokens: int = 32) -> List[List[int]]:
@@ -275,14 +293,16 @@ def t5_generate(params: Dict, cfg: T5Config,
         toks[i, :len(t)] = t
     enc_lens = jnp.asarray([len(t) for t in input_ids], jnp.int32)
 
-    enc_fn = jax.jit(lambda p, t, l: encode(p, cfg, t, l))
-    ckv_fn = jax.jit(lambda p, h: cross_kv(p, cfg, h))
-    dec_fn = jax.jit(lambda p, t, pos, sk, sv, kv, ek, ev, el: decode(
-        p, cfg, t, pos, sk, sv, kv, ek, ev, el),
-        donate_argnums=(3, 4))
+    # module-level jits keyed on the (hashable) cfg: repeated generate
+    # calls with the same config/shapes hit the trace cache instead of
+    # re-tracing fresh lambdas every call
+    enc_fn = functools.partial(_enc_jit, cfg=cfg)
+    ckv_fn = functools.partial(_ckv_jit, cfg=cfg)
+    dec_fn = functools.partial(_dec_jit, cfg=cfg)
 
     enc_hidden = enc_fn(params, jnp.asarray(toks), enc_lens)
     enc_k, enc_v = ckv_fn(params, enc_hidden)
+
 
     smax = max_new_tokens + 1
     ldec, h, d = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv

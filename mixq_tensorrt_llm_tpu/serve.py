@@ -53,10 +53,8 @@ class InferenceServer:
             if not worked:
                 time.sleep(0.005)
 
-    def generate(self, prompt, max_new_tokens: int = 64,
-                 use_eos: bool = True, timeout: float = 600.0,
-                 sampling=None, min_new_tokens: int = 0,
-                 bad_words=None, stop_sequences=None) -> dict:
+    def _prep(self, prompt, use_eos: bool):
+        """(token ids, eos id) from a string or token-list prompt."""
         if isinstance(prompt, str):
             assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
             ids = self.llm.tokenizer(prompt)["input_ids"]
@@ -64,6 +62,13 @@ class InferenceServer:
             ids = list(prompt)
         eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
                if use_eos else None)
+        return ids, eos
+
+    def generate(self, prompt, max_new_tokens: int = 64,
+                 use_eos: bool = True, timeout: float = 600.0,
+                 sampling=None, min_new_tokens: int = 0,
+                 bad_words=None, stop_sequences=None) -> dict:
+        ids, eos = self._prep(prompt, use_eos)
         bad_words = self._tokenize_words(bad_words)
         ev = threading.Event()
         with self._lock:
@@ -110,13 +115,7 @@ class InferenceServer:
         (reference streaming / decode_stream). Tokens flow through the
         executor's on_token callback into a queue the HTTP thread drains."""
         import queue
-        if isinstance(prompt, str):
-            assert self.llm.tokenizer is not None, "no tokenizer in checkpoint"
-            ids = self.llm.tokenizer(prompt)["input_ids"]
-        else:
-            ids = list(prompt)
-        eos = (getattr(self.llm.tokenizer, "eos_token_id", None)
-               if use_eos else None)
+        ids, eos = self._prep(prompt, use_eos)
         q: "queue.Queue" = queue.Queue()
         bad_words = self._tokenize_words(bad_words)
         with self._lock:
