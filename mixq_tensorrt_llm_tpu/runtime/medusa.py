@@ -113,26 +113,17 @@ class MedusaStats:
         return self.tokens / max(self.steps, 1)
 
 
-def medusa_generate(params: Dict, cfg: ModelConfig, heads: Optional[Dict],
-                    prompt: Sequence[int], max_new_tokens: int,
-                    choices: Sequence[Tuple[int, ...]] = None,
-                    max_seq_len: int = 0,
-                    head_logits_fn: Optional[Callable] = None,
-                    ) -> Tuple[List[int], MedusaStats]:
-    """Greedy Medusa decode for one sequence.
+import functools
 
-    head_logits_fn(hidden (1,H), step) -> (K, 1, V) overrides the Medusa
-    heads (tests inject an oracle to pin full-tree acceptance).
-    Returns (prompt + generated tokens, stats).
-    """
-    tree = build_tree(choices or DEFAULT_CHOICES)
+
+@functools.lru_cache(maxsize=64)
+def _programs(cfg: ModelConfig, choices: tuple, s0: int, smax: int):
+    """Jitted (prefill, verify, compact) for one (cfg, tree, shape) key —
+    repeated medusa_generate calls (a serving loop) reuse the compiled
+    programs instead of re-tracing fresh closures per request."""
+    tree = build_tree(choices)
     n = tree.num_nodes
-    s0 = len(prompt)
-    smax = max_seq_len or s0 + max_new_tokens + n + 2
-    assert smax >= s0 + max_new_tokens + n + 1
-
     depths_j = jnp.asarray(tree.depths)
-    cache = mcommon.init_kv_cache(cfg, 1, smax)
 
     @jax.jit
     def prefill(params, cache, tokens):
@@ -194,6 +185,30 @@ def medusa_generate(params: Dict, cfg: ModelConfig, heads: Optional[Dict],
             k=fix(cache.k), v=fix(cache.v),
             k_scale=fix(cache.k_scale) if cache.k_scale is not None else None,
             v_scale=fix(cache.v_scale) if cache.v_scale is not None else None)
+
+    return prefill, verify, compact
+
+
+def medusa_generate(params: Dict, cfg: ModelConfig, heads: Optional[Dict],
+                    prompt: Sequence[int], max_new_tokens: int,
+                    choices: Sequence[Tuple[int, ...]] = None,
+                    max_seq_len: int = 0,
+                    head_logits_fn: Optional[Callable] = None,
+                    ) -> Tuple[List[int], MedusaStats]:
+    """Greedy Medusa decode for one sequence.
+
+    head_logits_fn(hidden (1,H), step) -> (K, 1, V) overrides the Medusa
+    heads (tests inject an oracle to pin full-tree acceptance).
+    Returns (prompt + generated tokens, stats).
+    """
+    choices_t = tuple(tuple(c) for c in (choices or DEFAULT_CHOICES))
+    tree = build_tree(choices_t)
+    n = tree.num_nodes
+    s0 = len(prompt)
+    smax = max_seq_len or s0 + max_new_tokens + n + 2
+    assert smax >= s0 + max_new_tokens + n + 1
+    prefill, verify, compact = _programs(cfg, choices_t, s0, smax)
+    cache = mcommon.init_kv_cache(cfg, 1, smax)
 
     tokens_j = jnp.asarray(np.asarray(prompt, np.int32)[None])
     logits, cache, hidden = prefill(params, cache, tokens_j)

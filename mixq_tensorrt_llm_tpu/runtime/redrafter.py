@@ -22,6 +22,7 @@ slots (same gather+dynamic-slice as runtime/medusa.py).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -130,26 +131,12 @@ class ReDrafterStats:
         return self.tokens / max(self.steps, 1)
 
 
-def redrafter_generate(params: Dict, cfg: ModelConfig,
-                       drafter: Optional[Dict],
-                       prompt: Sequence[int], max_new_tokens: int,
-                       num_beams: int = 4, draft_len: int = 4,
-                       max_seq_len: int = 0,
-                       draft_fn: Optional[Callable] = None,
-                       ) -> Tuple[List[int], ReDrafterStats]:
-    """Greedy ReDrafter decode for one sequence.
-
-    draft_fn(hidden (1,H), next_tok, step) -> (num_beams, draft_len)
-    overrides the drafter (tests inject an oracle). Output equals plain
-    greedy decode; a trained drafter only raises tokens/step.
-    Returns (prompt + generated, stats).
-    """
-    k, lc = num_beams, draft_len
-    n = k * lc                              # candidate rows
-    s0 = len(prompt)
-    smax = max_seq_len or s0 + max_new_tokens + n + 2
-    assert smax >= s0 + max_new_tokens + n + 1
-    cache = mcommon.init_kv_cache(cfg, 1, smax)
+@functools.lru_cache(maxsize=64)
+def _programs(cfg: ModelConfig, k: int, lc: int, s0: int, smax: int):
+    """Jitted (prefill, verify, compact, draft) for one (cfg, beams,
+    shape) key — repeated redrafter_generate calls reuse the compiled
+    programs instead of re-tracing per request."""
+    n = k * lc
 
     @jax.jit
     def prefill(params, cache, tokens):
@@ -203,14 +190,35 @@ def redrafter_generate(params: Dict, cfg: ModelConfig,
             k_scale=fix(cache.k_scale) if cache.k_scale is not None else None,
             v_scale=fix(cache.v_scale) if cache.v_scale is not None else None)
 
-    draft_jit = None
-    if draft_fn is None:
-        embed_w = params["embed"]["w"]
+    @jax.jit
+    def draft_jit(params, drafter, hidden, tok):
+        return beam_search_draft(drafter, params["embed"]["w"], hidden[0],
+                                 tok, k, lc)
 
-        @jax.jit
-        def draft_jit(drafter, hidden, tok):
-            return beam_search_draft(drafter, embed_w, hidden[0], tok,
-                                     k, lc)
+    return prefill, verify, compact, draft_jit
+
+
+def redrafter_generate(params: Dict, cfg: ModelConfig,
+                       drafter: Optional[Dict],
+                       prompt: Sequence[int], max_new_tokens: int,
+                       num_beams: int = 4, draft_len: int = 4,
+                       max_seq_len: int = 0,
+                       draft_fn: Optional[Callable] = None,
+                       ) -> Tuple[List[int], ReDrafterStats]:
+    """Greedy ReDrafter decode for one sequence.
+
+    draft_fn(hidden (1,H), next_tok, step) -> (num_beams, draft_len)
+    overrides the drafter (tests inject an oracle). Output equals plain
+    greedy decode; a trained drafter only raises tokens/step.
+    Returns (prompt + generated, stats).
+    """
+    k, lc = num_beams, draft_len
+    n = k * lc                              # candidate rows
+    s0 = len(prompt)
+    smax = max_seq_len or s0 + max_new_tokens + n + 2
+    assert smax >= s0 + max_new_tokens + n + 1
+    prefill, verify, compact, draft_jit = _programs(cfg, k, lc, s0, smax)
+    cache = mcommon.init_kv_cache(cfg, 1, smax)
 
     logits, cache, hidden = prefill(
         params, cache, jnp.asarray(np.asarray(prompt, np.int32)[None]))
@@ -228,7 +236,7 @@ def redrafter_generate(params: Dict, cfg: ModelConfig,
                                np.int32)
         else:
             beams = np.asarray(jax.device_get(
-                draft_jit(drafter, hidden, jnp.int32(next_tok))))
+                draft_jit(params, drafter, hidden, jnp.int32(next_tok))))
         rows = jnp.asarray(
             np.concatenate([[next_tok], beams.reshape(-1)])[None]
             .astype(np.int32))
