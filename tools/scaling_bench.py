@@ -1,0 +1,101 @@
+"""Scaling-efficiency harness: decode throughput vs mesh size.
+
+SURVEY §7.7 / BASELINE north star "≥85% scaling efficiency at ≥2 hosts":
+runs the SAME decode workload over tp = 1, 2, ... meshes (weights
+column/row-sharded, paged pools sharded on the KV-head axis — the
+Executor(mesh=) path) and reports tokens/s plus efficiency vs the
+single-device run scaled by the mesh size.
+
+On this environment only one TPU chip (or a virtual CPU mesh) exists, so
+the harness is validated functionally here and produces meaningful
+efficiency numbers on a real slice:
+
+    python tools/scaling_bench.py --tp 1 2 4 --layers 4 [--cpu]
+
+CPU mode forces an 8-device virtual host platform (numbers indicate the
+harness works, not hardware efficiency).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tp", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--kv_heads", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--gen", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-device virtual CPU mesh")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+
+    devices = jax.devices()
+    cfg = ModelConfig(vocab_size=1024, hidden_size=args.hidden,
+                      intermediate_size=2 * args.hidden,
+                      num_layers=args.layers, num_heads=args.heads,
+                      num_kv_heads=args.kv_heads,
+                      head_dim=args.hidden // args.heads,
+                      max_position_embeddings=256)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, cfg.vocab_size, 16).tolist()
+               for _ in range(args.batch)]
+
+    results = {}
+    for tp in args.tp:
+        if tp > len(devices):
+            print(f"skip tp={tp}: only {len(devices)} devices",
+                  file=sys.stderr)
+            continue
+        mesh = (None if tp == 1 else
+                Mesh(np.array(devices[:tp]).reshape(1, 1, tp),
+                     ("dp", "pp", "tp")))
+        ex = Executor(params, cfg, max_batch=args.batch, max_seq_len=64,
+                      block_size=8, prefill_chunk=16, mesh=mesh, seed=0)
+        for p in prompts:                       # warm compile
+            ex.submit(p, max_new_tokens=2)
+        ex.run()
+        rids = [ex.submit(p, max_new_tokens=args.gen) for p in prompts]
+        t0 = time.perf_counter()
+        done = ex.run()
+        wall = time.perf_counter() - t0
+        toks = sum(len(done[r].generated) for r in rids)
+        results[tp] = toks / wall
+        print(f"tp={tp}: {results[tp]:.1f} tok/s", file=sys.stderr,
+              flush=True)
+
+    base_tp = min(results)
+    out = {"tok_s": {str(k): round(v, 1) for k, v in results.items()},
+           "efficiency_vs_linear": {
+               str(k): round(v / (results[base_tp] * (k / base_tp)), 3)
+               for k, v in results.items()},
+           "note": ("virtual CPU mesh — functional validation only"
+                    if args.cpu else "hardware mesh")}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
