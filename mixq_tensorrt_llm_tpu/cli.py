@@ -20,7 +20,7 @@ def _add_quantize(sub):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--qformat", default="int8_mix",
                    choices=["none", "w8a16", "w4a16", "int8_mix", "int4_mix",
-                            "fp8"])
+                            "fp8", "int8_lr"])
     p.add_argument("--kv_cache_dtype", default="none",
                    choices=["none", "int8", "fp8"])
     p.add_argument("--num_outliers", type=int, default=128)

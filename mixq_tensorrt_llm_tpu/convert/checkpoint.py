@@ -131,6 +131,8 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
             want = {"w"}
         elif algo.is_mix:
             want = {"qweight", "scale_col", "fp_ind", "fp_weight"}
+        elif algo.is_lr:
+            want = {"qweight", "scale_col", "lr_u", "lr_v"}
         elif algo.is_weight_only or algo.is_fp8:
             want = {"qweight", "scale_col"}
         else:

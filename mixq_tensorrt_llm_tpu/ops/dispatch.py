@@ -114,6 +114,10 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
              * params["scale_col"][None, :]).astype(jnp.bfloat16)
         out = jnp.dot(x2.astype(jnp.bfloat16), w,
                       preferred_element_type=jnp.float32).astype(x.dtype)
+    elif algo.is_lr:
+        out = ref.lr_linear(x2, params["qweight"], params["scale_col"],
+                            params["lr_u"], params["lr_v"],
+                            out_dtype=x.dtype)
     elif algo.is_weight_only:
         if "qweight_packed" in params and _packed_kernel_ok(x2.shape[0]):
             # decode regime with packed int4: the Pallas kernel reads the
@@ -184,6 +188,10 @@ def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
     elif algo == QuantAlgo.FP8:
         q, s = qcore.quantize_weight_fp8(w)
         out["qweight"], out["scale_col"] = q, s.astype(jnp.float32)
+    elif algo == QuantAlgo.INT8_LR:
+        q, s, u, v = qcore.make_lr_artifact(w)
+        out["qweight"], out["scale_col"] = q, s
+        out["lr_u"], out["lr_v"] = u, v
     elif algo == QuantAlgo.W4A16:
         q, s = qcore.quantize_weight_int4(w)
         if pack:

@@ -115,6 +115,26 @@ def mix_linear(x: jax.Array, qweight: jax.Array, scale_col: jax.Array,
                         silu=silu, out_dtype=out_dtype)
 
 
+def lr_linear(x: jax.Array, qweight: jax.Array, scale_col: jax.Array,
+              u: jax.Array, v: jax.Array,
+              out_dtype=jnp.bfloat16) -> jax.Array:
+    """W8A8 + rank-r correction (QuantAlgo.INT8_LR):
+        Out = (q(x) @ qweight) * s_row * s_col + (x @ u) @ v
+    The correction repairs the weight-quantization residual with two
+    dense MXU GEMMs — no outlier gather, no calibration artifact."""
+    from ..quant import core as qcore
+    q_x, s_row = qcore.quantize_activations(x)
+    acc = jax.lax.dot_general(
+        q_x, qweight, (((q_x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    acc = acc * s_row[..., None] * scale_col[None, :]
+    corr = jnp.dot(jnp.dot(x.astype(jnp.bfloat16), u,
+                           preferred_element_type=jnp.float32)
+                   .astype(jnp.bfloat16), v,
+                   preferred_element_type=jnp.float32)
+    return (acc + corr).astype(out_dtype)
+
+
 def wo_matmul(
     x: jax.Array,            # bf16 (m, in)
     qweight: jax.Array,      # int8 (in, out) — int4 values held in int8 ok

@@ -31,6 +31,13 @@ class QuantAlgo(str, enum.Enum):
     INT8_MIX = "int8_mix"        # W8A8O16: int8 GEMM + fp16 outlier side-GEMM
     INT4_MIX = "int4_mix"        # W4A8O16 variant (scale=absmax/10, clamp [-8,7])
     FP8 = "fp8"                  # weight-only float8_e4m3 (stock TRT-LLM algo)
+    INT8_LR = "int8_lr"          # W8A8 + rank-r float correction of the
+    #                              weight-quantization residual — a
+    #                              calibration-free alternative to the
+    #                              outlier side-GEMM (MUXQ-style low-rank
+    #                              decomposition, PAPERS.md; dense (in,r)
+    #                              and (r,out) GEMMs replace the outlier
+    #                              gather — MXU-friendly, no act_scales)
 
     @property
     def is_mix(self) -> bool:
@@ -45,6 +52,10 @@ class QuantAlgo(str, enum.Enum):
         return self == QuantAlgo.FP8
 
     @property
+    def is_lr(self) -> bool:
+        return self == QuantAlgo.INT8_LR
+
+    @property
     def weight_bits(self) -> int:
         return {
             QuantAlgo.NONE: 16,
@@ -53,6 +64,7 @@ class QuantAlgo(str, enum.Enum):
             QuantAlgo.INT8_MIX: 8,
             QuantAlgo.INT4_MIX: 4,
             QuantAlgo.FP8: 8,
+            QuantAlgo.INT8_LR: 8,
         }[self]
 
 
@@ -109,9 +121,10 @@ class QuantConfig:
             return QuantAlgo.NONE
         if self.algo.is_weight_only or self.algo.is_fp8:
             return self.algo
-        # mix algos: route down_proj to the matching weight-only algo
+        # mix/lr algos: route down_proj to the matching weight-only algo
         if any(short == w or name.endswith(w) for w in self.weight_only_modules):
-            return QuantAlgo.W8A16 if self.algo == QuantAlgo.INT8_MIX else QuantAlgo.W4A16
+            return (QuantAlgo.W4A16 if self.algo == QuantAlgo.INT4_MIX
+                    else QuantAlgo.W8A16)
         if any(short == m or name.endswith(m) for m in self.mix_modules):
             return self.algo
         return QuantAlgo.NONE

@@ -252,3 +252,19 @@ def make_mix_artifact(w: jax.Array, act_scale: jax.Array, num_outliers: int,
         raise ValueError(f"unsupported bits={bits}")
     return MixQLinearArtifact(qweight, scale.astype(jnp.float32),
                               fp_ind, fp_weight)
+
+
+def make_lr_artifact(w: jax.Array, rank: int = 32):
+    """W8A8 + low-rank correction (MUXQ-style, calibration-free): the
+    weight-quantization residual R = W - deq(Q) is approximated by a
+    rank-r SVD, so the forward adds two small dense GEMMs instead of the
+    outlier gather + side-GEMM. Returns (qweight, scale_col, u (in,r),
+    v (r,out))."""
+    qweight, scale = quantize_weight_int8(w)
+    resid = (w.astype(jnp.float32)
+             - qweight.astype(jnp.float32) * scale[None, :])
+    r = int(min(rank, *w.shape))
+    u_f, s_f, vt_f = jnp.linalg.svd(resid, full_matrices=False)
+    u = (u_f[:, :r] * s_f[:r][None, :]).astype(jnp.bfloat16)
+    v = vt_f[:r].astype(jnp.bfloat16)
+    return qweight, scale.astype(jnp.float32), u, v
