@@ -88,6 +88,33 @@ def init_random_heads(cfg: ModelConfig, key: jax.Array, num_heads: int,
     }
 
 
+def heads_from_hf(sd, num_heads: int, num_layers: int = 1) -> Dict:
+    """HF medusa checkpoint -> heads pytree.
+
+    The released medusa format stores per-head ResBlock stacks + lm_head
+    as `{k}.{l}.linear.weight/bias` and `{k}.{num_layers}.weight`
+    (medusa_head.* or bare indices; reference models/medusa weight
+    loading)."""
+    import numpy as np
+
+    def arr(key):
+        for pre in ("medusa_head.", ""):
+            if pre + key in sd:
+                return jnp.asarray(np.asarray(sd[pre + key]))
+        raise KeyError(key)
+
+    ws, bs, lms = [], [], []
+    for k in range(num_heads):
+        ws.append(jnp.stack([arr(f"{k}.{l}.linear.weight").T
+                             for l in range(num_layers)]))
+        bs.append(jnp.stack([arr(f"{k}.{l}.linear.bias")
+                             for l in range(num_layers)]))
+        lms.append(arr(f"{k}.{num_layers}.weight").T)
+    return {"blocks": {"w": jnp.stack(ws).astype(jnp.float32),
+                       "b": jnp.stack(bs).astype(jnp.float32)},
+            "lm_head": {"w": jnp.stack(lms).astype(jnp.float32)}}
+
+
 def head_logits(heads: Dict, hidden: jax.Array) -> jax.Array:
     """hidden (B, H) -> per-head logits (K, B, V).
 

@@ -67,6 +67,46 @@ def init_random_drafter(cfg: ModelConfig, key: jax.Array,
     return p
 
 
+def drafter_from_hf(sd) -> Dict:
+    """ReDrafter drafter checkpoint -> drafter pytree (reference
+    models/redrafter/drafter.py parameter names: input_proj, layers.{i}
+    ResBlock linears, lm_head, rnn_u/rnn_w)."""
+    import numpy as np
+
+    def arr(key):
+        for pre in ("drafter.", ""):
+            if pre + key in sd:
+                return jnp.asarray(np.asarray(sd[pre + key]))
+        raise KeyError(key)
+
+    n = 0
+    while any(p + f"layers.{n}.linear.weight" in sd
+              for p in ("drafter.", "")):
+        n += 1
+    out: Dict = {
+        "blocks": {
+            "w": jnp.stack([arr(f"layers.{l}.linear.weight").T
+                            for l in range(n)]).astype(jnp.float32),
+            "b": jnp.stack([arr(f"layers.{l}.linear.bias")
+                            for l in range(n)]).astype(jnp.float32)},
+        "lm_head": {"w": arr("lm_head.weight").T.astype(jnp.float32)},
+    }
+    for p in ("drafter.", ""):
+        if p + "input_proj.weight" in sd:
+            out["input_proj"] = {"w": arr("input_proj.weight").T
+                                 .astype(jnp.float32),
+                                 "b": arr("input_proj.bias")
+                                 .astype(jnp.float32)}
+            break
+    for p in ("drafter.", ""):
+        if p + "rnn_w.weight" in sd:
+            out["rnn_w"] = {"w": arr("rnn_w.weight").T.astype(jnp.float32)}
+            out["rnn_u"] = {"w": arr("rnn_u.weight").T.astype(jnp.float32),
+                            "b": arr("rnn_u.bias").astype(jnp.float32)}
+            break
+    return out
+
+
 def drafter_logits(drafter: Dict, x2h: jax.Array) -> jax.Array:
     """x2h (..., 2H) = [base hidden | token embedding] -> (..., V)."""
     x = x2h.astype(jnp.float32)

@@ -102,3 +102,29 @@ def test_medusa_oracle_heads_accepts_full_paths():
     # full chains accepted: 12 tokens in ceil(12/5) = 3 steps
     assert stats.steps <= 3, stats.steps
     assert stats.tokens_per_step >= 4.0
+
+
+def test_heads_from_hf_mapping():
+    """Synthetic medusa-format state dict loads into the heads schema and
+    reproduces the torch ResBlock math."""
+    import torch
+    h, v, k = 16, 32, 3
+    torch.manual_seed(0)
+    sd = {}
+    for head in range(k):
+        sd[f"medusa_head.{head}.0.linear.weight"] = torch.randn(h, h) * 0.1
+        sd[f"medusa_head.{head}.0.linear.bias"] = torch.randn(h) * 0.1
+        sd[f"medusa_head.{head}.1.weight"] = torch.randn(v, h) * 0.1
+    from mixq_tensorrt_llm_tpu.runtime.medusa import (head_logits,
+                                                      heads_from_hf)
+    heads = heads_from_hf({kk: vv.numpy() for kk, vv in sd.items()},
+                          num_heads=k)
+    hid = torch.randn(1, h)
+    got = np.asarray(head_logits(heads, jnp.asarray(hid.numpy())))
+    for head in range(k):
+        w = sd[f"medusa_head.{head}.0.linear.weight"]
+        b = sd[f"medusa_head.{head}.0.linear.bias"]
+        lm = sd[f"medusa_head.{head}.1.weight"]
+        x = hid + torch.nn.functional.silu(hid @ w.T + b)
+        want = (x @ lm.T).numpy()
+        np.testing.assert_allclose(got[head], want, rtol=1e-4, atol=1e-4)

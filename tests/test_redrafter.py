@@ -193,3 +193,34 @@ def test_verify_rows_match_decode_logits():
                              attn_mask=mask, rope_pos=posr)
     for j in range(3):
         np.testing.assert_array_equal(np.asarray(out[0, j]), truth[j])
+
+
+def test_drafter_from_hf_mapping():
+    """Synthetic redrafter-format state dict loads into the drafter schema
+    and matches the torch drafter forward (input_proj + ResBlocks + head,
+    RNN embed)."""
+    import torch
+    h, v, exit_dim = 16, 32, 24
+    torch.manual_seed(0)
+    sd = {
+        "drafter.input_proj.weight": torch.randn(exit_dim, 2 * h) * 0.1,
+        "drafter.input_proj.bias": torch.randn(exit_dim) * 0.1,
+        "drafter.layers.0.linear.weight": torch.randn(exit_dim, exit_dim) * 0.1,
+        "drafter.layers.0.linear.bias": torch.randn(exit_dim) * 0.1,
+        "drafter.lm_head.weight": torch.randn(v, exit_dim) * 0.1,
+        "drafter.rnn_w.weight": torch.randn(h, h) * 0.1,
+        "drafter.rnn_u.weight": torch.randn(h, h) * 0.1,
+        "drafter.rnn_u.bias": torch.randn(h) * 0.1,
+    }
+    from mixq_tensorrt_llm_tpu.runtime.redrafter import (drafter_from_hf,
+                                                         drafter_logits)
+    drafter = drafter_from_hf({k: v2.numpy() for k, v2 in sd.items()})
+    x = torch.randn(2, 2 * h)
+    got = np.asarray(drafter_logits(drafter, jnp.asarray(x.numpy())))
+    t = x @ sd["drafter.input_proj.weight"].T + sd["drafter.input_proj.bias"]
+    t = t + torch.nn.functional.silu(
+        t @ sd["drafter.layers.0.linear.weight"].T
+        + sd["drafter.layers.0.linear.bias"])
+    want = (t @ sd["drafter.lm_head.weight"].T).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert "rnn_w" in drafter and drafter["rnn_u"]["b"].shape == (h,)
