@@ -42,6 +42,9 @@ class GenerationOutput:
     # per-sequence log-softmax of each emitted token (reference
     # output_log_probs); None for paths that do not record them (beams)
     logprobs: Optional[List[List[float]]] = None
+    # prompt-position logits (reference --gather_context_logits): list of
+    # (prompt_len, vocab) arrays, only when requested
+    context_logits: Optional[list] = None
 
     @property
     def decode_tokens_per_s(self) -> float:
@@ -74,8 +77,9 @@ class GenerationSession:
 
         cfg_static = cfg
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill(params, tokens, cache, lens):
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("full_logits",))
+        def _prefill(params, tokens, cache, lens, full_logits=False):
             b, s = tokens.shape
             pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
             logits, cache = mcommon.forward(params, cfg_static, tokens, pos,
@@ -84,7 +88,7 @@ class GenerationSession:
             # gather logits at each sequence's last valid position
             last = jnp.take_along_axis(
                 logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
-            return last[:, 0], cache
+            return last[:, 0], cache, (logits if full_logits else None)
 
         @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnames=("sampling", "processors"))
@@ -117,6 +121,7 @@ class GenerationSession:
                  num_beams: int = 1, length_penalty: float = 1.0,
                  bad_words: Optional[Sequence[Sequence[int]]] = None,
                  logits_processors: Sequence = (),
+                 return_context_logits: bool = False,
                  seed: int = 0) -> GenerationOutput:
         """Generate completions for a batch of token-id prompts.
 
@@ -178,8 +183,9 @@ class GenerationSession:
         procs = tuple(logits_processors)
 
         t0 = time.perf_counter()
-        last_logits, cache = self._prefill(self.params, jnp.asarray(tokens),
-                                           cache, lens)
+        last_logits, cache, ctx_logits = self._prefill(
+            self.params, jnp.asarray(tokens), cache, lens,
+            full_logits=return_context_logits)
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         cur = sample(last_logits, sub, sampling, history=jnp.asarray(history),
@@ -255,9 +261,14 @@ class GenerationSession:
             sequences.append(list(p) + gen)
             n_gen.append(len(gen))
             lps.append(logprobs[i, :len(gen)].tolist())
+        ctx = None
+        if return_context_logits:
+            cl = np.asarray(ctx_logits)
+            ctx = [cl[i, :lens_list[i]] for i in range(b)]
         return GenerationOutput(sequences, lens_list, n_gen,
                                 prefill_time_s=t1 - t0,
-                                decode_time_s=t2 - t1, logprobs=lps)
+                                decode_time_s=t2 - t1, logprobs=lps,
+                                context_logits=ctx)
 
     def score_logits(self, tokens: np.ndarray, lens: np.ndarray) -> jax.Array:
         """Full-sequence logits for PPL evaluation. tokens (B,S) padded."""

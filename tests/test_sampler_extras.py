@@ -182,3 +182,20 @@ class TestMMLU:
         acc = evaluate_mmlu(llm, str(data), k_shot=0, max_input_len=128)
         assert "algebra" in acc and "average" in acc
         assert 0.0 <= acc["average"] <= 1.0
+
+
+class TestContextLogits:
+    def test_context_logits_match_score(self, session):
+        """return_context_logits (reference --gather_context_logits)
+        returns per-prompt-position logits matching score_logits."""
+        prompts = [[1, 2, 3, 4], [5, 6]]
+        out = session.generate(prompts, 3, return_context_logits=True)
+        assert [c.shape[0] for c in out.context_logits] == [4, 2]
+        toks = np.zeros((2, 4), np.int32)
+        toks[0, :4] = prompts[0]
+        toks[1, :2] = prompts[1]
+        ref = np.asarray(session.score_logits(toks, np.array([4, 2])))
+        for i, p in enumerate(prompts):
+            np.testing.assert_allclose(out.context_logits[i],
+                                       ref[i, :len(p)], rtol=5e-2,
+                                       atol=5e-2)
