@@ -17,7 +17,6 @@ import glob
 import os
 from typing import Dict, List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 CHOICES = ("A", "B", "C", "D")

@@ -32,14 +32,13 @@ float (SURVEY §2.4: only the GEMM bulk gets mixed treatment).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, NamedTuple, Optional, Tuple
+from typing import Dict, Mapping, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dispatch
-from ..ops import ref as ops_ref
 from ..quant.config import QuantConfig
 from .common import ModelConfig
 from .mamba import _scan_combine

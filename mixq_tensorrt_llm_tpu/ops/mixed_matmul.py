@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant import core as qcore
 from ._util import round_up as _round_up, pick_block as _pick_block, resolve_interpret
 from . import ref
 

@@ -22,7 +22,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.core import INT8_MAX
 from ._util import round_up as _round_up, resolve_interpret

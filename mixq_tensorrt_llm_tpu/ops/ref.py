@@ -11,7 +11,6 @@ the Pallas versions exist to beat XLA on the fusion patterns it cannot see
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

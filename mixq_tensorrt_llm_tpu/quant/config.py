@@ -14,7 +14,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import json
-from typing import Optional
 
 
 class QuantAlgo(str, enum.Enum):

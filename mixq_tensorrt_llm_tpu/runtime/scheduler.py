@@ -40,8 +40,7 @@ import numpy as np
 
 from ..models import common as mcommon
 from ..models.common import ModelConfig
-from .kv_cache import (BlockManager, PAD_POS, PagedKVState,
-                       init_paged_kv)
+from .kv_cache import PAD_POS, PagedKVState, init_paged_kv
 from .sampler import (BW_PAD, SamplingConfig, SamplingParams, batch_params,
                       sample_batched)
 

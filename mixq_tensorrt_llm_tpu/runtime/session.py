@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import common as mcommon
-from ..models.common import KVCache, ModelConfig
+from ..models.common import ModelConfig
 from .sampler import SamplingConfig, sample
 
 

@@ -1,7 +1,6 @@
 """Beam-search tests vs the greedy session."""
 
 import jax
-import numpy as np
 import pytest
 
 from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama

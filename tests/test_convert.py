@@ -1,7 +1,6 @@
 """Checkpoint pipeline tests: calibration, save/load roundtrip, HF-dir
 quantize end-to-end with a real (tiny) transformers model on disk."""
 
-import json
 import os
 
 import jax

@@ -6,7 +6,6 @@ set during inference; here the state is a per-layer running channel absmax
 carried through the lax.scan (quant/dynamic.py).
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -1,9 +1,6 @@
 """Tests for the PPL harness, ROUGE, and the high-level LLM API / CLI."""
 
-import json
 import os
-import subprocess
-import sys
 
 import jax
 import numpy as np

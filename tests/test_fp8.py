@@ -6,12 +6,10 @@ per-(token, head) scale scheme as int8 KV. Pallas kernels stay int8-only;
 fp8 paths ride the XLA-partitionable jnp math.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
 from mixq_tensorrt_llm_tpu.quant import (KVCacheQuantAlgo, QuantAlgo,

@@ -3,12 +3,10 @@
 alternative to the outlier side-GEMM: two dense MXU GEMMs instead of an
 activation gather, no act_scales artifact."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
 from mixq_tensorrt_llm_tpu.ops import dispatch, ref

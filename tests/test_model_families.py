@@ -7,7 +7,6 @@ Baichuan has no offline HF class (trust_remote_code); its converter is
 checked by re-packing llama weights into the baichuan W_pack layout.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

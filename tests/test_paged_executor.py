@@ -6,7 +6,6 @@ and pool-pressure scenarios.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -6,7 +6,6 @@ code, so CPU results are bit-identical.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

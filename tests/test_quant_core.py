@@ -7,7 +7,6 @@ Pallas kernels and converters have ground truth.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mixq_tensorrt_llm_tpu.quant import core as q
 

@@ -1,7 +1,6 @@
 """Tests: repetition penalty, min_new_tokens eos ban, stop sequences, MMLU."""
 
 import csv
-import json
 import os
 
 import jax

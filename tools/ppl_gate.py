@@ -21,8 +21,6 @@ Writes the JSON artifact and exits nonzero on threshold violation.
 """
 
 import argparse
-import dataclasses
-import functools
 import json
 import os
 import sys
