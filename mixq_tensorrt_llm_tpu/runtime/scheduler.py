@@ -88,6 +88,11 @@ class Request:
     finish_time: Optional[float] = None
     on_token: Optional[object] = None   # streaming callback(req, token)
     prefill_pos: int = 0                # tokens already prefilled
+    # crash-resume (Executor.snapshot/restore): tokens generated BEFORE the
+    # restart, visible to stop-sequence matching but re-prefilled as prompt
+    stop_ctx: List[int] = dataclasses.field(default_factory=list)
+    # (orig_prompt_len, prior_generated, prior_logprobs, orig_max, orig_min)
+    resume: Optional[tuple] = None
 
     @property
     def sequence(self) -> List[int]:
@@ -546,6 +551,89 @@ class Executor:
                 return True
         return False
 
+    # ------------------------------------------------------------------
+    def snapshot(self) -> dict:
+        """JSON-serializable snapshot of all request state for crash /
+        restart recovery (SURVEY §5: the reference has none — an MPI rank
+        failure kills the job; this is the suggested checkpoint-reload
+        upgrade). Device KV is NOT saved: restore() replays each pending
+        request's committed tokens through normal chunked prefill, which
+        is cheap (one pass) and exact. on_token streaming callbacks are
+        not serializable and are dropped."""
+        def ser(r: Request) -> dict:
+            return {
+                "req_id": r.req_id, "prompt": list(r.prompt),
+                "generated": list(r.stop_ctx) + list(r.generated)
+                if r.resume is None else
+                list(r.resume[1]) + list(r.generated),
+                "logprobs": list(r.logprobs) if r.resume is None else
+                list(r.resume[2]) + list(r.logprobs),
+                "max_new_tokens": r.max_new_tokens if r.resume is None
+                else r.resume[3],
+                "min_new_tokens": r.min_new_tokens if r.resume is None
+                else r.resume[4],
+                "eos_token_id": r.eos_token_id,
+                "sampling": dataclasses.asdict(r.sampling)
+                if r.sampling is not None else None,
+                "lora_id": r.lora_id, "priority": r.priority,
+                "bad_words": r.bad_words,
+                "logits_processor": r.logits_processor,
+                "stop_sequences": r.stop_sequences,
+                "done": r.done,
+            }
+        # a restored-but-unfinished request carries its true prompt length
+        # in resume[0]; undo the replay concatenation before serializing
+        def ser_pending(r: Request) -> dict:
+            d = ser(r)
+            if r.resume is not None:
+                d["prompt"] = list(r.prompt[:r.resume[0]])
+            return d
+        pending = ([ser_pending(r) for r in self.queue]
+                   + [ser_pending(r) for r in self.prefilling]
+                   + [ser_pending(r) for r in self.slots if r is not None])
+        return {"pending": pending,
+                "finished": [ser(r) for r in self.finished.values()],
+                "next_id": self._next_id}
+
+    def restore(self, snap: dict) -> None:
+        """Re-admit a snapshot's work on a fresh executor (same model /
+        processors). Each pending request's already-committed tokens are
+        replayed as prompt through chunked prefill; greedy continuations
+        are bit-identical to the uninterrupted run (stochastic requests
+        resume with fresh entropy). Finished results are re-exposed in
+        `finished` unchanged."""
+        assert not self.has_work and not self.finished, \
+            "restore() needs a fresh executor"
+        for d in snap["finished"]:
+            r = Request(d["req_id"], list(d["prompt"]),
+                        d["max_new_tokens"], d["eos_token_id"],
+                        SamplingConfig(**d["sampling"])
+                        if d["sampling"] else None,
+                        d["lora_id"], d["min_new_tokens"], d["priority"],
+                        d["bad_words"], d["logits_processor"],
+                        d["stop_sequences"])
+            r.generated = list(d["generated"])
+            r.logprobs = list(d["logprobs"])
+            r.done = True
+            self.finished[r.req_id] = r
+        for d in snap["pending"]:
+            gen = list(d["generated"])
+            r = Request(d["req_id"], list(d["prompt"]) + gen,
+                        d["max_new_tokens"] - len(gen),
+                        d["eos_token_id"],
+                        SamplingConfig(**d["sampling"])
+                        if d["sampling"] else None,
+                        d["lora_id"],
+                        max(0, d["min_new_tokens"] - len(gen)),
+                        d["priority"], d["bad_words"],
+                        d["logits_processor"], d["stop_sequences"])
+            if gen:
+                r.stop_ctx = gen
+                r.resume = (len(d["prompt"]), gen, list(d["logprobs"]),
+                            d["max_new_tokens"], d["min_new_tokens"])
+            self.queue.append(r)
+        self._next_id = max(snap["next_id"], self._next_id)
+
     @property
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)
@@ -692,7 +780,10 @@ class Executor:
                    and len(req.generated) > req.min_new_tokens)
         hit_stop = False
         if req.stop_sequences and not hit_eos:
-            gen = req.generated
+            # stop_ctx extends matching across a snapshot/restore boundary
+            # (pre-restart tokens count as generated output, not prompt)
+            gen = req.stop_ctx + req.generated if req.stop_ctx \
+                else req.generated
             hit_stop = any(len(gen) >= len(ss)
                            and gen[-len(ss):] == list(ss)
                            for ss in req.stop_sequences)
@@ -702,6 +793,15 @@ class Executor:
     def _finish(self, req: Request) -> None:
         req.done = True
         req.finish_time = time.perf_counter()
+        if req.resume is not None:
+            # restored request: re-split the replayed prompt and stitch
+            # pre-restart output back so callers see ONE generation
+            plen, old_gen, old_lp, omax, omin = req.resume
+            req.prompt = req.prompt[:plen]
+            req.generated = old_gen + req.generated
+            req.logprobs = old_lp + req.logprobs
+            req.max_new_tokens, req.min_new_tokens = omax, omin
+            req.resume, req.stop_ctx = None, []
         self.bm.free_sequence(req.req_id)
         self.finished[req.req_id] = req
         self.slots[self.slots.index(req)] = None
