@@ -245,6 +245,9 @@ def _add_serve(sub):
     p.add_argument("--max_seq_len", type=int, default=2048)
     p.add_argument("--block_size", type=int, default=64)
     p.add_argument("--prefill_chunk", type=int, default=256)
+    p.add_argument("--snapshot_path", default=None,
+                   help="crash-resume: restore pending work from this JSON "
+                        "at boot and keep snapshotting while serving")
     return p
 
 
@@ -255,7 +258,8 @@ def _cmd_serve(args):
     llm = LLM(args.model, quant=args.quant, max_seq_len=args.max_seq_len)
     run_server(llm, host=args.host, port=args.port,
                max_batch=args.max_batch, block_size=args.block_size,
-               prefill_chunk=args.prefill_chunk)
+               prefill_chunk=args.prefill_chunk,
+               snapshot_path=args.snapshot_path)
 
 
 def main(argv=None):

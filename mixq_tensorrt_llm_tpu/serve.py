@@ -16,6 +16,12 @@ Executor.step() — requests batch together automatically between steps.
                    ({"token": id, "text": piece}), final line {"done": ...}
                    (reference streaming generation, decode_stream)
   GET  /health                                 -> {"status": "ok", ...}
+  GET  /result?id=N  pop a finished request's output (resumed requests
+                   whose original client died with the previous process)
+
+Crash-resume: pass snapshot_path= (CLI --snapshot_path) to restore
+pending work at boot and snapshot periodically + on shutdown
+(Executor.snapshot/restore; greedy continuations are exact).
 
 Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
 """
@@ -23,6 +29,7 @@ Start: python -m mixq_tensorrt_llm_tpu.cli serve --model <dir> --port 8000
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,11 +37,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class InferenceServer:
     def __init__(self, llm, max_batch: int = 8, block_size: int = 64,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256, snapshot_path=None,
+                 snapshot_interval_s: float = 30.0):
         self.llm = llm
         self.executor = llm.make_executor(max_batch=max_batch,
                                           block_size=block_size,
                                           prefill_chunk=prefill_chunk)
+        # crash-resume: reload pending work from a previous process's
+        # snapshot and keep snapshotting while work is in flight
+        # (Executor.snapshot/restore; results of resumed requests land in
+        # `finished` for GET /result since their clients are gone)
+        self.snapshot_path = snapshot_path
+        self._snapshot_interval = snapshot_interval_s
+        self._last_snapshot = 0.0
+        if snapshot_path is not None and os.path.exists(snapshot_path):
+            with open(snapshot_path) as f:
+                self.executor.restore(json.load(f))
         self._lock = threading.Lock()
         self._events = {}
         self._stop = threading.Event()
@@ -49,8 +67,20 @@ class InferenceServer:
                     ev = self._events.get(rid)
                     if ev is not None:
                         ev.set()
+                if (self.snapshot_path is not None and worked
+                        and time.monotonic() - self._last_snapshot
+                        > self._snapshot_interval):
+                    self._write_snapshot()
             if not worked:
                 time.sleep(0.005)
+
+    def _write_snapshot(self):
+        """Atomic snapshot write (tmp + rename); caller holds _lock."""
+        tmp = self.snapshot_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.executor.snapshot(), f)
+        os.replace(tmp, self.snapshot_path)
+        self._last_snapshot = time.monotonic()
 
     def _prep(self, prompt, use_eos: bool):
         """(token ids, eos id) from a string or token-list prompt."""
@@ -144,9 +174,26 @@ class InferenceServer:
         yield {"done": True, "generated_tokens": len(req.generated),
                "logprobs": [round(x, 6) for x in req.logprobs]}
 
+    def result(self, rid: int):
+        """Pop a finished request's output (for requests resumed from a
+        snapshot, whose original HTTP client is gone). None if unknown or
+        still running."""
+        with self._lock:
+            req = self.executor.finished.pop(rid, None)
+        if req is None:
+            return None
+        text = (self.llm.tokenizer.decode(req.generated,
+                                          skip_special_tokens=True)
+                if self.llm.tokenizer else None)
+        return {"text": text, "tokens": req.generated,
+                "logprobs": [round(x, 6) for x in req.logprobs]}
+
     def shutdown(self):
         self._stop.set()
         self._stepper.join(timeout=5)
+        if self.snapshot_path is not None:
+            with self._lock:
+                self._write_snapshot()
 
 
 def make_handler(server: InferenceServer):
@@ -180,6 +227,19 @@ def make_handler(server: InferenceServer):
                             last_step_ms=round(
                                 st[-1].step_time_s * 1e3, 2))
                 self._json(200, payload)
+            elif self.path.startswith("/result"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    rid = int(q["id"][0])
+                except (KeyError, ValueError):
+                    self._json(400, {"error": "need ?id=<req_id>"})
+                    return
+                out = server.result(rid)
+                if out is None:
+                    self._json(404, {"error": f"no finished result {rid}"})
+                else:
+                    self._json(200, out)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -232,9 +292,10 @@ def make_handler(server: InferenceServer):
 
 def run_server(llm, host: str = "127.0.0.1", port: int = 8000,
                max_batch: int = 8, block_size: int = 64,
-               prefill_chunk: int = 256) -> None:
+               prefill_chunk: int = 256, snapshot_path=None) -> None:
     srv = InferenceServer(llm, max_batch=max_batch, block_size=block_size,
-                          prefill_chunk=prefill_chunk)
+                          prefill_chunk=prefill_chunk,
+                          snapshot_path=snapshot_path)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     print(f"serving on http://{host}:{port} "
           f"(POST /generate, GET /health)", flush=True)

@@ -139,3 +139,60 @@ def test_stream_with_bad_words(server):
         lines = [json.loads(l) for l in r.read().decode().splitlines() if l]
     toks = [l["token"] for l in lines if "token" in l]
     assert tok not in toks and len(toks) == 6
+
+
+def test_snapshot_restore_cycle(tmp_path):
+    """A server booted with snapshot_path resumes a crashed process's
+    pending work exactly and exposes the result via /result (its HTTP
+    client died with the old process); shutdown persists a snapshot."""
+    import os
+    import time as _time
+    from mixq_tensorrt_llm_tpu.runtime import Executor
+    from mixq_tensorrt_llm_tpu.serve import InferenceServer
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=64,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(max_seq_len=64, max_batch=2, block_size=8, prefill_chunk=16)
+
+    plain = Executor(params, cfg, seed=0, **kw)
+    rid0 = plain.submit([4, 5, 6], max_new_tokens=8)
+    want = plain.run()[rid0].generated
+
+    # "previous process": run part way, snapshot to disk, vanish
+    old = Executor(params, cfg, seed=0, **kw)
+    rid = old.submit([4, 5, 6], max_new_tokens=8)
+    while old.has_work:
+        old.step()
+        live = [r for r in old.slots if r is not None]
+        if live and len(live[0].generated) >= 3:
+            break
+    path = str(tmp_path / "snap.json")
+    with open(path, "w") as f:
+        json.dump(old.snapshot(), f)
+
+    class FakeLLM:
+        tokenizer = None
+        max_seq_len = 64
+
+        def make_executor(self, **_):
+            return Executor(params, cfg, seed=0, **kw)
+
+    srv = InferenceServer(FakeLLM(), snapshot_path=path,
+                          snapshot_interval_s=0.0)
+    try:
+        deadline = _time.time() + 120
+        out = None
+        while out is None and _time.time() < deadline:
+            out = srv.result(rid)
+            _time.sleep(0.02)
+        assert out is not None and out["tokens"] == want
+    finally:
+        srv.shutdown()
+    assert os.path.exists(path)          # shutdown persisted a snapshot
+    with open(path) as f:
+        snap = json.load(f)
+    assert snap["pending"] == []         # nothing left in flight
