@@ -19,11 +19,13 @@ def _add_quantize(sub):
     p.add_argument("--model_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--qformat", default="int8_mix",
-                   choices=["none", "w8a16", "w4a16", "int8_mix", "int4_mix",
-                            "fp8", "int8_lr"])
+                   choices=["none", "w8a16", "w4a16", "w4a16_g", "int8_mix",
+                            "int4_mix", "fp8", "int8_lr"])
     p.add_argument("--kv_cache_dtype", default="none",
                    choices=["none", "int8", "fp8"])
     p.add_argument("--num_outliers", type=int, default=128)
+    p.add_argument("--group_size", type=int, default=128,
+                   help="rows per scale group (w4a16_g)")
     p.add_argument("--act_scales", default=None,
                    help=".pt/.npz act_scales artifact (reference-compatible)")
     p.add_argument("--calib_file", default=None,
@@ -42,7 +44,8 @@ def _cmd_quantize(args):
 
     quant = QuantConfig(algo=QuantAlgo(args.qformat),
                         kv_cache=KVCacheQuantAlgo(args.kv_cache_dtype),
-                        num_outliers=args.num_outliers)
+                        num_outliers=args.num_outliers,
+                        group_size=args.group_size)
     calib_batches = None
     if args.calib_file and quant.algo.is_mix and not args.act_scales:
         from transformers import AutoTokenizer

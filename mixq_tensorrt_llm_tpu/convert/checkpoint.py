@@ -133,6 +133,8 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
             want = {"qweight", "scale_col", "fp_ind", "fp_weight"}
         elif algo.is_lr:
             want = {"qweight", "scale_col", "lr_u", "lr_v"}
+        elif algo.value == "w4a16_g":
+            want = {"qweight", "scale_g"}
         elif algo.is_weight_only or algo.is_fp8:
             want = {"qweight", "scale_col"}
         else:

@@ -1011,6 +1011,7 @@ def _quantize_layer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
                 w, b = fl[src]
                 moe[dst] = dispatch.quantize_linear_params(
                     jnp.asarray(w, jnp.float32), algo,
+                    group_size=cfg.quant.group_size,
                     bias=jnp.asarray(b, jnp.float32)
                     if b is not None else None)
             moe["shared_gate"] = {
@@ -1026,6 +1027,7 @@ def _quantize_layer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
         out[mod] = dispatch.quantize_linear_params(
             jnp.asarray(w, jnp.float32), algo, act_scale=scale,
             num_outliers=cfg.quant.num_outliers,
+            group_size=cfg.quant.group_size,
             bias=jnp.asarray(b, jnp.float32) if b is not None else None)
     return out
 

@@ -124,7 +124,7 @@ def _quantize_layer(cfg: ModelConfig, float_layer: Dict[str, jnp.ndarray],
             if algo.is_mix else None
         out[mod] = dispatch.quantize_linear_params(
             w, algo, act_scale=scale, num_outliers=cfg.quant.num_outliers,
-            bias=bias)
+            group_size=cfg.quant.group_size, bias=bias)
     return out
 
 

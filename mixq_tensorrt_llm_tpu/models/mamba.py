@@ -192,6 +192,7 @@ def _quantize_mixer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
         out[mod] = dispatch.quantize_linear_params(
             jnp.asarray(w, jnp.float32), algo, act_scale=scale,
             num_outliers=cfg.quant.num_outliers,
+            group_size=cfg.quant.group_size,
             bias=jnp.asarray(bias, jnp.float32) if bias is not None else None)
     return out
 

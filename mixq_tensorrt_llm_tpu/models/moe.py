@@ -182,7 +182,11 @@ def _moe_mlp_dense(cfg: ModelConfig, moe_params: Dict,
 
 
 def quantize_expert_linear(w_stack: jax.Array, algo: QuantAlgo) -> Dict:
-    """w_stack (E, in, out) float -> expert-stacked params dict."""
+    """w_stack (E, in, out) float -> expert-stacked params dict.
+
+    W4A16_G falls back to per-channel int4 for expert weights (the
+    expert-batched forward consumes scale_col; group scales for experts
+    are a possible future refinement)."""
     if algo == QuantAlgo.NONE:
         return {"w": w_stack.astype(jnp.bfloat16)}
     bits = algo.weight_bits

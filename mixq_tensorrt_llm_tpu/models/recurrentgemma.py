@@ -269,6 +269,7 @@ def _q(cfg: ModelConfig, w, b, route: str, act_scales, i: int):
     return dispatch.quantize_linear_params(
         jnp.asarray(w, jnp.float32), algo, act_scale=scale,
         num_outliers=cfg.quant.num_outliers,
+        group_size=cfg.quant.group_size,
         bias=jnp.asarray(b, jnp.float32) if b is not None else None)
 
 

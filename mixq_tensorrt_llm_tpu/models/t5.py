@@ -346,7 +346,8 @@ def _q(cfg: T5Config, w, route: str):
         scale = jnp.ones((w.shape[0],), jnp.float32)
     return dispatch.quantize_linear_params(
         jnp.asarray(w, jnp.float32), algo, act_scale=scale,
-        num_outliers=cfg.quant.num_outliers)
+        num_outliers=cfg.quant.num_outliers,
+        group_size=cfg.quant.group_size)
 
 
 def _stack(dicts):

@@ -11,6 +11,7 @@ Param schemas (weights in (in, out) "kernel" layout):
   NONE:      {"w": bf16 (in, out)} [+ "b"]
   W8A16:     {"qweight": int8 (in, out), "scale_col": f32 (out,)} [+ "b"]
   W4A16:     same, qweight holds int4 values in int8 (or packed uint8 "qweight_packed")
+  W4A16_G:   {"qweight": int4-in-int8 (in, out), "scale_g": f32 (in/G, out)}
   INT8_MIX:  {"qweight", "scale_col", "fp_ind": int32 (k,),
               "fp_weight": bf16 (k, out)} [+ "b"]
   INT4_MIX:  same with int4-valued qweight
@@ -118,6 +119,9 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
         out = ref.lr_linear(x2, params["qweight"], params["scale_col"],
                             params["lr_u"], params["lr_v"],
                             out_dtype=x.dtype)
+    elif algo == QuantAlgo.W4A16_G:
+        out = ref.wo_matmul_grouped(x2, _unpacked_qweight(params),
+                                    params["scale_g"], out_dtype=x.dtype)
     elif algo.is_weight_only:
         if "qweight_packed" in params and _packed_kernel_ok(x2.shape[0]):
             # decode regime with packed int4: the Pallas kernel reads the
@@ -177,7 +181,8 @@ def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
                            act_scale: Optional[jax.Array] = None,
                            num_outliers: int = 128,
                            bias: Optional[jax.Array] = None,
-                           pack: bool = False) -> dict:
+                           pack: bool = False,
+                           group_size: int = 128) -> dict:
     """Build the params dict for one linear from a float weight (in, out)."""
     out: dict = {}
     if algo == QuantAlgo.NONE:
@@ -199,6 +204,13 @@ def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
         else:
             out["qweight"] = q
         out["scale_col"] = s.astype(jnp.float32)
+    elif algo == QuantAlgo.W4A16_G:
+        q, s = qcore.quantize_weight_int4_grouped(w, group_size)
+        if pack:
+            out["qweight_packed"] = qcore.pack_int4(q)
+        else:
+            out["qweight"] = q
+        out["scale_g"] = s.astype(jnp.float32)
     elif algo.is_mix:
         assert act_scale is not None, "mix quantization needs calibrated act_scale"
         art = qcore.make_mix_artifact(w, act_scale, num_outliers,

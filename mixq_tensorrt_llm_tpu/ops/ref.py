@@ -152,6 +152,28 @@ def wo_matmul(
     return (acc * scale_col[None, :]).astype(out_dtype)
 
 
+def wo_matmul_grouped(
+    x: jax.Array,            # bf16 (m, in)
+    qweight: jax.Array,      # int8-held int4 (in, out)
+    scale_g: jax.Array,      # f32  (in/G, out) per-group scales
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Group-wise W4A16 matmul (QuantAlgo.W4A16_G, stock TRT-LLM
+    W4A16_GPTQ grouping): per-group partial dots batched over the group
+    axis on the MXU, scales applied to the f32 partials — the (in, out)
+    dequantized weight is never materialized in HBM. int4 values are
+    exact in bf16 so the partial dot loses nothing."""
+    m, k = x.shape
+    g, n = scale_g.shape
+    gs = k // g
+    xg = x.astype(jnp.bfloat16).reshape(m, g, gs)
+    qg = qweight.astype(jnp.bfloat16).reshape(g, gs, n)
+    part = jnp.einsum("mgk,gkn->gmn", xg, qg,
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("gmn,gn->mn", part, scale_g.astype(jnp.float32))
+    return out.astype(out_dtype)
+
+
 def attention(
     q: jax.Array,            # (b, sq, hq, d)
     k: jax.Array,            # (b, skv, hkv, d)

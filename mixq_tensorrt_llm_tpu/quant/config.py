@@ -27,6 +27,12 @@ class QuantAlgo(str, enum.Enum):
     NONE = "none"
     W8A16 = "w8a16"              # weight-only int8, per-out-channel scale
     W4A16 = "w4a16"              # weight-only int4, per-out-channel scale
+    W4A16_G = "w4a16_g"          # weight-only int4, per-GROUP scales
+    #                              (QuantConfig.group_size rows share one
+    #                              scale per out-channel — the GPTQ/AWQ-
+    #                              style grouping of stock TRT-LLM
+    #                              W4A16_GPTQ; true absmax/7 scaling, far
+    #                              tighter than the mix path's /10 rule)
     INT8_MIX = "int8_mix"        # W8A8O16: int8 GEMM + fp16 outlier side-GEMM
     INT4_MIX = "int4_mix"        # W4A8O16 variant (scale=absmax/10, clamp [-8,7])
     FP8 = "fp8"                  # weight-only float8_e4m3 (stock TRT-LLM algo)
@@ -44,7 +50,8 @@ class QuantAlgo(str, enum.Enum):
 
     @property
     def is_weight_only(self) -> bool:
-        return self in (QuantAlgo.W8A16, QuantAlgo.W4A16)
+        return self in (QuantAlgo.W8A16, QuantAlgo.W4A16,
+                        QuantAlgo.W4A16_G)
 
     @property
     def is_fp8(self) -> bool:
@@ -60,6 +67,7 @@ class QuantAlgo(str, enum.Enum):
             QuantAlgo.NONE: 16,
             QuantAlgo.W8A16: 8,
             QuantAlgo.W4A16: 4,
+            QuantAlgo.W4A16_G: 4,
             QuantAlgo.INT8_MIX: 8,
             QuantAlgo.INT4_MIX: 4,
             QuantAlgo.FP8: 8,
@@ -101,6 +109,7 @@ class QuantConfig:
     max_outliers: int = 256          # PyTorch dynamic path cap (Cache.py:12-23)
     outlier_sigma: float = 6.0       # dynamic outlier threshold (linear.py:197-223)
     dynamic_outliers: bool = False   # runtime adaptive growth (PyTorch path)
+    group_size: int = 128            # rows per scale group (W4A16_G)
     # module-name suffixes routed to the mixed path vs weight-only path
     mix_modules: tuple = ("q_proj", "k_proj", "v_proj", "qkv_proj", "gate_proj",
                           "up_proj", "gate_up_proj", "o_proj")

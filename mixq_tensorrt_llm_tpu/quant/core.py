@@ -83,6 +83,35 @@ def dequantize_weight(q: jax.Array, scale: jax.Array,
     return (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)).astype(dtype)
 
 
+def quantize_weight_int4_grouped(w: jax.Array, group_size: int = 128
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """Group-wise symmetric int4: every `group_size` input rows of each
+    output channel share one scale (stock TRT-LLM W4A16_GPTQ/AWQ grouping;
+    the reference fork only carries per-channel int4 with the absmax/10
+    rule). True absmax/7 scaling over the [-7, 7] range — per-group scales
+    localize outliers so quantization error tracks the GROUP's dynamic
+    range, not the whole channel's.
+
+    w (in, out) -> (q int8-held int4 (in, out), scale f32 (in/G, out)).
+    """
+    k, n = w.shape
+    assert k % group_size == 0, (k, group_size)
+    wg = w.astype(jnp.float32).reshape(k // group_size, group_size, n)
+    scale = (jnp.max(jnp.abs(wg), axis=1) / 7.0).clip(1e-8)   # (G', n)
+    q = jnp.round(wg / scale[:, None, :])
+    q = jnp.clip(q, -7, 7).astype(jnp.int8).reshape(k, n)
+    return q, scale
+
+
+def dequantize_weight_grouped(q: jax.Array, scale: jax.Array,
+                              dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize (in,out) int4 weights with (in/G, out) group scales."""
+    k, n = q.shape
+    g = scale.shape[0]
+    wg = q.astype(jnp.float32).reshape(g, k // g, n) * scale[:, None, :]
+    return wg.reshape(k, n).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # int4 <-> packed storage (two nibbles per uint8)
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ Thresholds (relative PPL increase over float):
     w8a16          <= 2%
     int4_mix       <= 12%    (int4 costs accuracy; gate catches regressions)
     int8_lr        <= 3%     (W8A8 + rank-r residual correction, no outliers)
+    w4a16_g        <= 6%     (group-wise int4, absmax/7 per 128-row group)
 
 Run: python tools/ppl_gate.py [--steps N] [--out PPL_r02.json]
 Writes the JSON artifact and exits nonzero on threshold violation.
@@ -124,6 +125,7 @@ THRESHOLDS = {          # max relative PPL increase vs float
     "int8_mix_kv8": 0.03,
     "int4_mix": 0.12,
     "int8_lr": 0.03,
+    "w4a16_g": 0.06,
 }
 
 
@@ -156,6 +158,7 @@ def run_gate(steps: int = 600, max_blocks=None, num_outliers: int = 32):
         "int8_mix_kv8": quant_cfg(QuantAlgo.INT8_MIX, KVCacheQuantAlgo.INT8),
         "int4_mix": quant_cfg(QuantAlgo.INT4_MIX),
         "int8_lr": quant_cfg(QuantAlgo.INT8_LR),
+        "w4a16_g": quant_cfg(QuantAlgo.W4A16_G),
     }
 
     results = {}
