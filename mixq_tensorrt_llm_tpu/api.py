@@ -206,3 +206,108 @@ class LLM:
         return evaluate_ppl(self.params, self.cfg, token_stream,
                             seq_len=seq_len, batch_size=batch_size,
                             max_blocks=max_blocks)
+
+
+def _as_quant_config(quant) -> QuantConfig:
+    if quant is None:
+        return QuantConfig()
+    if isinstance(quant, str):
+        return QuantConfig(algo=QuantAlgo(quant))
+    return quant
+
+
+def _try_tokenizer(path: str):
+    try:
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(path)
+    except Exception:
+        return None
+
+
+@dataclasses.dataclass
+class Seq2SeqLM:
+    """Encoder-decoder (T5/mT5) one-liner — the reference enc_dec branch
+    (tensorrt_llm/models/enc_dec): s2s = Seq2SeqLM("/path/to/t5",
+    quant="w8a16"); s2s.generate("translate ...")."""
+
+    model: str
+    quant: Union[str, QuantConfig, None] = None
+    tokenizer: Optional[object] = None
+
+    def __post_init__(self):
+        from .convert.hf import load_hf_config, load_hf_state_dict
+        from .models import t5 as mt5
+        hf_cfg = load_hf_config(self.model)
+        mt = hf_cfg.model_type.lower()
+        assert mt in ("t5", "mt5", "umt5"), \
+            f"Seq2SeqLM supports t5-family configs, got {mt!r}"
+        self.cfg = mt5.config_from_hf(hf_cfg, _as_quant_config(self.quant))
+        self.params = mt5.params_from_hf(
+            self.cfg, load_hf_state_dict(self.model))
+        if self.tokenizer is None:
+            self.tokenizer = _try_tokenizer(self.model)
+
+    def generate_tokens(self, input_ids: Sequence[Sequence[int]],
+                        max_new_tokens: int = 64) -> List[List[int]]:
+        """Greedy enc-dec generation; returns decoder token lists
+        including the decoder start token."""
+        from .models.t5 import t5_generate
+        return t5_generate(self.params, self.cfg,
+                           [list(p) for p in input_ids], max_new_tokens)
+
+    def generate(self, prompts: Union[str, Sequence[str]],
+                 max_new_tokens: int = 64) -> Union[str, List[str]]:
+        assert self.tokenizer is not None, \
+            "no tokenizer found; pass tokenizer= or use generate_tokens()"
+        single = isinstance(prompts, str)
+        if single:
+            prompts = [prompts]
+        ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+        outs = self.generate_tokens(ids, max_new_tokens)
+        texts = [self.tokenizer.decode(o, skip_special_tokens=True)
+                 for o in outs]
+        return texts[0] if single else texts
+
+
+@dataclasses.dataclass
+class Encoder:
+    """Encoder-only (BERT) one-liner — the reference bert branch
+    (tensorrt_llm/models/bert): enc = Encoder("/path/to/bert");
+    hidden, pooled = enc.encode(["a sentence"])."""
+
+    model: str
+    quant: Union[str, QuantConfig, None] = None
+    tokenizer: Optional[object] = None
+
+    def __post_init__(self):
+        from .convert.hf import load_hf_config, load_hf_state_dict
+        from .models import bert as mbert
+        hf_cfg = load_hf_config(self.model)
+        mt = hf_cfg.model_type.lower()
+        assert mt == "bert", f"Encoder supports bert configs, got {mt!r}"
+        self.cfg = mbert.config_from_hf(hf_cfg, _as_quant_config(self.quant))
+        self.params = mbert.params_from_hf(
+            self.cfg, load_hf_state_dict(self.model))
+        if self.tokenizer is None:
+            self.tokenizer = _try_tokenizer(self.model)
+
+    def encode_tokens(self, input_ids: Sequence[Sequence[int]]):
+        """Padded batch encode: returns (hidden (B,S,H), pooled (B,H))."""
+        from .models import bert as mbert
+        import jax.numpy as jnp
+        b = len(input_ids)
+        s = max(len(x) for x in input_ids)
+        toks = np.zeros((b, s), np.int32)
+        for i, t in enumerate(input_ids):
+            toks[i, :len(t)] = t
+        lens = jnp.asarray([len(t) for t in input_ids], jnp.int32)
+        return mbert.forward(self.params, self.cfg, jnp.asarray(toks), lens)
+
+    def encode(self, texts: Union[str, Sequence[str]]):
+        assert self.tokenizer is not None, \
+            "no tokenizer found; pass tokenizer= or use encode_tokens()"
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        ids = [self.tokenizer(t)["input_ids"] for t in texts]
+        return self.encode_tokens(ids)

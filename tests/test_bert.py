@@ -66,3 +66,32 @@ def test_int8_mix_close(setup):
                            jnp.asarray(LENS, jnp.int32))
     assert np.abs(np.asarray(got)[0, :6] - np.asarray(base)[0, :6]).max() \
         < 1.0
+
+
+def test_encoder_api_from_hf_dir(tmp_path):
+    """api.Encoder loads an HF BERT dir and reproduces the direct
+    forward (reference bert branch hlapi-style entry)."""
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertModel
+    hf_cfg = HFBertConfig(vocab_size=64, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=32)
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg)
+    d = str(tmp_path / "bert")
+    model.save_pretrained(d)
+
+    from mixq_tensorrt_llm_tpu.api import Encoder
+    enc = Encoder(d)
+    hidden, pooled = enc.encode_tokens([[3, 4, 5], [6, 7]])
+    assert hidden.shape == (2, 3, 32) and pooled.shape == (2, 32)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = mbert.config_from_hf(hf_cfg)
+    params = mbert.params_from_hf(cfg, sd)
+    import jax.numpy as jnp
+    toks = np.array([[3, 4, 5], [6, 7, 0]], np.int32)
+    want_h, want_p = mbert.forward(params, cfg, jnp.asarray(toks),
+                                   jnp.asarray([3, 2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)

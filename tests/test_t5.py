@@ -121,3 +121,27 @@ def test_random_init_generate():
     params = mt5.init_random_params(cfg, jax.random.PRNGKey(0))
     out = mt5.t5_generate(params, cfg, [[3, 1, 4]], max_new_tokens=5)
     assert len(out[0]) >= 2
+
+
+def test_seq2seq_api_from_hf_dir(tmp_path):
+    """api.Seq2SeqLM loads an HF T5 dir and reproduces the direct
+    t5_generate path (reference enc_dec hlapi-style entry)."""
+    import torch
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+    hf_cfg = HFT5Config(vocab_size=64, d_model=32, d_kv=8, num_heads=4,
+                        d_ff=64, num_layers=2, num_decoder_layers=2,
+                        decoder_start_token_id=0)
+    torch.manual_seed(0)
+    model = T5ForConditionalGeneration(hf_cfg)
+    d = str(tmp_path / "t5")
+    model.save_pretrained(d)
+
+    from mixq_tensorrt_llm_tpu.api import Seq2SeqLM
+    s2s = Seq2SeqLM(d)
+    got = s2s.generate_tokens([[3, 4, 5, 6]], max_new_tokens=5)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = mt5.config_from_hf(hf_cfg)
+    params = mt5.params_from_hf(cfg, sd)
+    want = mt5.t5_generate(params, cfg, [[3, 4, 5, 6]], max_new_tokens=5)
+    assert got == want
