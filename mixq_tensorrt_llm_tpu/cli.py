@@ -175,12 +175,20 @@ def _add_summarize(sub):
     p.add_argument("--rouge1_threshold", type=float, default=None,
                    help="exit non-zero if rouge1 falls below this "
                         "(reference --tensorrt_llm_rouge1_threshold)")
+    p.add_argument("--enc_dec", action="store_true",
+                   help="model is a T5-family encoder-decoder (reference "
+                        "summarize.py enc_dec path; uses the 'summarize:' "
+                        "task prefix)")
     return p
 
 
 def _cmd_summarize(args):
-    from .api import LLM
     from .eval.rouge import rouge_scores
+
+    if args.enc_dec:
+        _summarize_enc_dec(args, rouge_scores)
+        return
+    from .api import LLM
 
     llm = LLM(args.model, quant=args.quant,
               max_seq_len=args.max_input_len + args.output_len)
@@ -205,6 +213,36 @@ def _cmd_summarize(args):
         for r, seq, p in zip(chunk, out.sequences, prompts):
             hyps.append(llm.tokenizer.decode(seq[len(p):],
                                              skip_special_tokens=True))
+            refs.append(r["highlights"])
+    scores = rouge_scores(hyps, refs)
+    print(json.dumps({k: round(v, 3) for k, v in scores.items()}))
+    if args.rouge1_threshold is not None and \
+            scores["rouge1"] < args.rouge1_threshold:
+        sys.exit(f"rouge1 {scores['rouge1']:.2f} below threshold "
+                 f"{args.rouge1_threshold}")
+
+
+def _summarize_enc_dec(args, rouge_scores):
+    """T5-family summarization (reference summarize.py enc_dec models)."""
+    from .api import Seq2SeqLM
+
+    s2s = Seq2SeqLM(args.model, quant=args.quant)
+    records = []
+    with open(args.data_file) as f:
+        for line in f:
+            if line.strip():
+                records.append(json.loads(line))
+            if len(records) >= args.max_samples:
+                break
+    hyps, refs = [], []
+    for i in range(0, len(records), args.batch_size):
+        chunk = records[i: i + args.batch_size]
+        ids = [s2s.tokenizer("summarize: " + r["article"]
+                             )["input_ids"][: args.max_input_len]
+               for r in chunk]
+        outs = s2s.generate_tokens(ids, max_new_tokens=args.output_len)
+        for r, o in zip(chunk, outs):
+            hyps.append(s2s.tokenizer.decode(o, skip_special_tokens=True))
             refs.append(r["highlights"])
     scores = rouge_scores(hyps, refs)
     print(json.dumps({k: round(v, 3) for k, v in scores.items()}))

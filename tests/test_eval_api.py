@@ -122,3 +122,46 @@ class TestLLMApi:
                    cache_dir=str(tmp_path / "cache"))
         out2 = llm2.generate_tokens([[1, 2, 3]], max_new_tokens=4)
         assert out.sequences == out2.sequences
+
+
+class TestEncDecSummarize:
+    def test_summarize_enc_dec_cli(self, tmp_path, capsys):
+        """`summarize --enc_dec` drives a T5 dir end-to-end (reference
+        summarize.py enc_dec path)."""
+        torch = pytest.importorskip("torch")
+        import json as _json
+        from transformers import (PreTrainedTokenizerFast, T5Config,
+                                  T5ForConditionalGeneration)
+        from tokenizers import Tokenizer, models, pre_tokenizers
+
+        d = tmp_path / "t5"
+        hf_cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, num_heads=4,
+                          d_ff=64, num_layers=2, num_decoder_layers=2,
+                          decoder_start_token_id=0, eos_token_id=1)
+        torch.manual_seed(0)
+        T5ForConditionalGeneration(hf_cfg).save_pretrained(str(d))
+        vocab = {w: i for i, w in enumerate(
+            ["</s>", "<unk>", "summarize", ":", "the", "cat", "sat"])}
+        vocab["</s>"] = 1
+        vocab["<unk>"] = 2
+        for i in range(len(vocab), 64):
+            vocab[f"w{i}"] = i
+        tk = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+        tk.pre_tokenizer = pre_tokenizers.Whitespace()
+        PreTrainedTokenizerFast(tokenizer_object=tk, unk_token="<unk>",
+                                eos_token="</s>").save_pretrained(str(d))
+
+        data = tmp_path / "data.jsonl"
+        with open(data, "w") as f:
+            f.write(_json.dumps({"article": "the cat sat",
+                                 "highlights": "the cat"}) + "\n")
+
+        import argparse
+        from mixq_tensorrt_llm_tpu.cli import _cmd_summarize
+        args = argparse.Namespace(
+            model=str(d), quant=None, data_file=str(data), max_samples=2,
+            max_input_len=32, output_len=4, batch_size=1,
+            rouge1_threshold=None, enc_dec=True)
+        _cmd_summarize(args)
+        scores = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert set(scores) == {"rouge1", "rouge2", "rougeL"}
