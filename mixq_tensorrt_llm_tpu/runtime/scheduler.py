@@ -47,6 +47,11 @@ from .sampler import (BW_PAD, SamplingConfig, SamplingParams, batch_params,
 HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
 
 
+class QueueFullError(RuntimeError):
+    """submit() backpressure when the queue is at max_queue_size
+    (reference executor.pyi ExecutorConfig.max_queue_size)."""
+
+
 @dataclasses.dataclass
 class IterationStats:
     """Per-step serving telemetry (reference bindings/executor.pyi
@@ -113,6 +118,7 @@ class Executor:
                  logits_processors: Optional[Dict[str, object]] = None,
                  mesh=None,
                  enable_block_reuse: bool = False,
+                 max_queue_size: int = 0,
                  seed: int = 0):
         from ..ops._util import _on_tpu
         from ..quant.config import KVCacheQuantAlgo
@@ -156,6 +162,7 @@ class Executor:
         # prefix caching (reference executor enableBlockReuse): identical
         # prompt-prefix blocks are adopted instead of re-prefilled
         # (content chain-hashing in both the Python and C++ managers).
+        self.max_queue_size = max_queue_size   # 0 = unbounded
         self.block_reuse = enable_block_reuse
         if enable_block_reuse:
             assert not window_blocks, "block reuse + windows unsupported"
@@ -497,6 +504,11 @@ class Executor:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
                 f"> max_seq_len ({self.max_seq_len})")
+        if self.max_queue_size and len(self.queue) >= self.max_queue_size:
+            # reference executor.pyi ExecutorConfig.max_queue_size:
+            # backpressure instead of unbounded admission
+            raise QueueFullError(
+                f"queue full ({self.max_queue_size}); retry later")
         rid = self._next_id
         self._next_id += 1
         if lora_id and not self.has_lora:

@@ -38,11 +38,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 class InferenceServer:
     def __init__(self, llm, max_batch: int = 8, block_size: int = 64,
                  prefill_chunk: int = 256, snapshot_path=None,
-                 snapshot_interval_s: float = 30.0):
+                 snapshot_interval_s: float = 30.0,
+                 max_queue_size: int = 0):
         self.llm = llm
         self.executor = llm.make_executor(max_batch=max_batch,
                                           block_size=block_size,
-                                          prefill_chunk=prefill_chunk)
+                                          prefill_chunk=prefill_chunk,
+                                          max_queue_size=max_queue_size)
         # crash-resume: reload pending work from a previous process's
         # snapshot and keep snapshotting while work is in flight
         # (Executor.snapshot/restore; results of resumed requests land in
@@ -286,6 +288,12 @@ def make_handler(server: InferenceServer):
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except RuntimeError as e:
+                from .runtime.scheduler import QueueFullError
+                if isinstance(e, QueueFullError):
+                    self._json(503, {"error": str(e)})   # backpressure
+                else:
+                    raise
 
     return Handler
 

@@ -277,3 +277,20 @@ def test_iteration_stats():
     assert all(s.step_time_s > 0 for s in stats)
     assert 0.0 <= stats[0].kv_cache_usage <= 1.0
     assert stats[0].num_active + stats[0].num_prefilling >= 1
+
+
+def test_max_queue_size_backpressure(quantized_model):
+    """submit() raises QueueFullError at capacity and accepts again once
+    the queue drains (reference ExecutorConfig.max_queue_size)."""
+    import pytest as _pytest
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import QueueFullError
+    params, cfg = quantized_model
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=32, block_size=8,
+                  max_queue_size=2)
+    ex.submit([1, 2], max_new_tokens=2)
+    ex.submit([3, 4], max_new_tokens=2)
+    with _pytest.raises(QueueFullError):
+        ex.submit([5, 6], max_new_tokens=2)
+    ex.run()
+    rid = ex.submit([5, 6], max_new_tokens=2)     # drained: accepted
+    assert len(ex.run()[rid].generated) == 2
