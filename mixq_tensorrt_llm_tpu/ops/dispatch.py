@@ -120,8 +120,18 @@ def linear(params: dict, x: jax.Array, algo: QuantAlgo,
                             params["lr_u"], params["lr_v"],
                             out_dtype=x.dtype)
     elif algo == QuantAlgo.W4A16_G:
-        out = ref.wo_matmul_grouped(x2, _unpacked_qweight(params),
-                                    params["scale_g"], out_dtype=x.dtype)
+        scale_g = params["scale_g"]
+        gs = x2.shape[-1] // scale_g.shape[0]
+        if ("qweight_packed" in params and _packed_kernel_ok(x2.shape[0])
+                and gs % 128 == 0):
+            # decode regime: packed-int4 kernel with group scales in VMEM
+            from . import wo_matmul as wk
+            out = wk.wo_matmul_packed_grouped(
+                x2, params["qweight_packed"], scale_g, gs,
+                out_dtype=x.dtype)
+        else:
+            out = ref.wo_matmul_grouped(x2, _unpacked_qweight(params),
+                                        scale_g, out_dtype=x.dtype)
     elif algo.is_weight_only:
         if "qweight_packed" in params and _packed_kernel_ok(x2.shape[0]):
             # decode regime with packed int4: the Pallas kernel reads the

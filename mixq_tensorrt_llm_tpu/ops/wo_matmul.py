@@ -170,3 +170,108 @@ def wo_matmul_packed(x, qweight_packed, scale_col, out_dtype=jnp.bfloat16,
     )(x[:, :kp].astype(jnp.bfloat16), x[:, kp:].astype(jnp.bfloat16),
       qweight_packed, scale_col[None, :])
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# packed int4 with PER-GROUP scales (QuantAlgo.W4A16_G)
+# ---------------------------------------------------------------------------
+
+def _wo_packed_grouped_kernel(x_lo_ref, x_hi_ref, qp_ref, slo_ref, shi_ref,
+                              out_ref, acc_ref, *, n_k_steps, groups_per_blk,
+                              gs):
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = qp_ref[:]                                    # int8 (bk, bn) packed
+    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    # per-group scales differ along K, so each group's partial dot is
+    # scaled in f32 BEFORE accumulation (exact — no scaled-weight rounding)
+    for g in range(groups_per_blk):
+        rows = slice(g * gs, (g + 1) * gs)
+        acc_ref[:] += jnp.dot(x_lo_ref[:, rows], lo[rows, :],
+                              preferred_element_type=jnp.float32) \
+            * slo_ref[g:g + 1, :].astype(jnp.float32)
+        acc_ref[:] += jnp.dot(x_hi_ref[:, rows], hi[rows, :],
+                              preferred_element_type=jnp.float32) \
+            * shi_ref[g:g + 1, :].astype(jnp.float32)
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype",
+                                             "interpret", "block_m",
+                                             "block_n", "block_k"))
+def wo_matmul_packed_grouped(x, qweight_packed, scale_g, group_size: int,
+                             out_dtype=jnp.bfloat16, interpret=None,
+                             block_m: int = 256, block_n: int = 512,
+                             block_k: int = 512):
+    """Group-wise packed-int4 matmul: x (M, K) bf16; qweight_packed int8
+    (K/2, N) in pack_int4's K-HALF layout; scale_g f32 (K/group_size, N)
+    -> (M, N).
+
+    The decode path of QuantAlgo.W4A16_G: HBM weight traffic stays 0.5
+    bytes/weight and the per-group scales ride VMEM — the low-nibble rows
+    of packed block s cover groups [s*bk/gs, ...), the high-nibble rows
+    cover the same block shifted by K/2, so the scale tensor is fed twice
+    with two block index maps (reference fpA_intB group-wise GEMM,
+    weightonlykernel; group scales replace its per-channel epilogue).
+    """
+    interpret = resolve_interpret(interpret)
+    m, k = x.shape
+    kp, n = qweight_packed.shape
+    gs = group_size
+    assert k == 2 * kp, (k, kp)
+    assert kp % gs == 0, ("K/2 must be group-aligned", kp, gs)
+    if not interpret:
+        assert kp % 128 == 0 and n % 128 == 0 and gs % 128 == 0, (kp, n, gs)
+
+    bm = min(block_m, _round_up(m, 16))
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(kp, block_k)
+    bk = max((bk // gs) * gs, gs)         # group-aligned K blocks
+    while kp % bk:
+        bk -= gs
+    groups_per_blk = bk // gs
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    n_k_steps = kp // bk
+    hi_base = kp // gs // groups_per_blk      # block offset of hi groups
+    grid = (m_pad // bm, n // bn, n_k_steps)
+
+    out = pl.pallas_call(
+        functools.partial(_wo_packed_grouped_kernel, n_k_steps=n_k_steps,
+                          groups_per_blk=groups_per_blk, gs=gs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x [0, K/2)
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x [K/2, K)
+            pl.BlockSpec((bk, bn), lambda i, j, s: (s, j)),
+            pl.BlockSpec((groups_per_blk, bn), lambda i, j, s: (s, j)),
+            pl.BlockSpec((groups_per_blk, bn),
+                         lambda i, j, s: (hi_base + s, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k * 2 + kp * n + m_pad * n * 2
+            + (k // gs) * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x[:, :kp].astype(jnp.bfloat16), x[:, kp:].astype(jnp.bfloat16),
+      qweight_packed, scale_g, scale_g)
+    return out[:m]

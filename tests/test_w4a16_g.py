@@ -6,11 +6,10 @@ only has per-channel int4 with the absmax/10 rule. Here every
 error tracks the group's dynamic range, not the whole channel's.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mixq_tensorrt_llm_tpu.models import (ModelConfig, forward,
                                            init_kv_cache, llama as mllama)
@@ -127,3 +126,39 @@ class TestModel:
         s1 = params["layers"]["qkv_proj"]["scale_g"]
         np.testing.assert_array_equal(
             np.asarray(s1), np.asarray(p2["layers"]["qkv_proj"]["scale_g"]))
+
+
+class TestPackedGroupedKernel:
+    @pytest.mark.parametrize("gs,block_k", [(32, 64), (32, 512), (64, 64)])
+    def test_kernel_matches_ref(self, gs, block_k):
+        """Interpret-mode Pallas grouped packed kernel == grouped ref."""
+        k, n, m = 256, 128, 8
+        w = _row_varying_weight(jax.random.PRNGKey(7), k, n)
+        q, s = qcore.quantize_weight_int4_grouped(w, group_size=gs)
+        packed = qcore.pack_int4(q)
+        x = jax.random.normal(jax.random.PRNGKey(8), (m, k), jnp.float32)
+
+        from mixq_tensorrt_llm_tpu.ops.wo_matmul import \
+            wo_matmul_packed_grouped
+        got = wo_matmul_packed_grouped(x.astype(jnp.bfloat16), packed, s,
+                                       gs, out_dtype=jnp.float32,
+                                       interpret=True, block_k=block_k)
+        want = ref.wo_matmul_grouped(x, q, s, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_odd_m_padding(self):
+        k, n, gs = 128, 128, 32
+        w = _row_varying_weight(jax.random.PRNGKey(9), k, n)
+        q, s = qcore.quantize_weight_int4_grouped(w, group_size=gs)
+        from mixq_tensorrt_llm_tpu.ops.wo_matmul import \
+            wo_matmul_packed_grouped
+        x = jax.random.normal(jax.random.PRNGKey(10), (3, k), jnp.float32)
+        got = wo_matmul_packed_grouped(x.astype(jnp.bfloat16),
+                                       qcore.pack_int4(q), s, gs,
+                                       out_dtype=jnp.float32,
+                                       interpret=True)
+        assert got.shape == (3, n)
+        want = ref.wo_matmul_grouped(x, q, s, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
