@@ -80,6 +80,24 @@ def main():
     print(f"spec rounds={ex.spec_rounds} tokens={len(done[a].generated)} "
           f"({time.time() - t0:.1f}s)")
     assert len(done[a].generated) == 12
+
+    # grouped packed-int4 kernel lowers in Mosaic at 7B geometry
+    from mixq_tensorrt_llm_tpu.ops import ref as ops_ref
+    from mixq_tensorrt_llm_tpu.ops.wo_matmul import wo_matmul_packed_grouped
+    kk, nn, gs = 4096, 4096, 128
+    w = jax.random.normal(jax.random.PRNGKey(5), (kk, nn), jnp.float32) * 0.02
+    qg, sg = qcore.quantize_weight_int4_grouped(w, gs)
+    packed = qcore.pack_int4(qg)
+    xx = jax.random.normal(jax.random.PRNGKey(6), (4, kk), jnp.bfloat16)
+    t0 = time.time()
+    got = wo_matmul_packed_grouped(xx, packed, sg, gs,
+                                   out_dtype=jnp.float32)
+    got.block_until_ready()
+    want = ops_ref.wo_matmul_grouped(xx, qg, sg, out_dtype=jnp.float32)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    print(f"w4a16_g packed kernel @4096x4096 ({time.time() - t0:.1f}s) "
+          f"rel={rel:.2e}")
+    assert rel < 5e-3
     print("SMALLQ TPU PROBE PASSED")
 
 
