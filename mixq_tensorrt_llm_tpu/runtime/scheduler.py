@@ -630,6 +630,11 @@ class Executor:
             self.finished[r.req_id] = r
         for d in snap["pending"]:
             gen = list(d["generated"])
+            if len(d["prompt"]) + d["max_new_tokens"] > self.max_seq_len:
+                raise ValueError(
+                    f"snapshot request {d['req_id']} needs "
+                    f"{len(d['prompt']) + d['max_new_tokens']} tokens > "
+                    f"max_seq_len {self.max_seq_len}")
             r = Request(d["req_id"], list(d["prompt"]) + gen,
                         d["max_new_tokens"] - len(gen),
                         d["eos_token_id"],

@@ -69,7 +69,10 @@ class InferenceServer:
                     ev = self._events.get(rid)
                     if ev is not None:
                         ev.set()
-                if (self.snapshot_path is not None and worked
+                # gate on has_work, not tokens produced: mid-prefill steps
+                # return 0 but the queue/prefill state still needs saving
+                if (self.snapshot_path is not None
+                        and (worked or self.executor.has_work)
                         and time.monotonic() - self._last_snapshot
                         > self._snapshot_interval):
                     self._write_snapshot()
