@@ -77,13 +77,8 @@ class LLM:
         return out
 
     def _load_tokenizer(self):
-        for path in (self.model, self._ckpt_dir):
-            try:
-                from transformers import AutoTokenizer
-                return AutoTokenizer.from_pretrained(path)
-            except Exception:
-                continue
-        return None
+        return (_try_tokenizer(self.model)
+                or _try_tokenizer(self._ckpt_dir))
 
     # ------------------------------------------------------------------
     def generate(self, prompts: Union[str, Sequence[str]],
@@ -224,6 +219,18 @@ def _try_tokenizer(path: str):
         return None
 
 
+def _load_hf_family(model: str, module, allowed: tuple, label: str,
+                    quant):
+    """Shared HF-dir loader for the non-decoder API classes: config
+    check -> config_from_hf -> params_from_hf (quantizing in memory)."""
+    from .convert.hf import load_hf_config, load_hf_state_dict
+    hf_cfg = load_hf_config(model)
+    mt = hf_cfg.model_type.lower()
+    assert mt in allowed, f"{label} supports {allowed}, got {mt!r}"
+    cfg = module.config_from_hf(hf_cfg, _as_quant_config(quant))
+    return cfg, module.params_from_hf(cfg, load_hf_state_dict(model))
+
+
 @dataclasses.dataclass
 class Seq2SeqLM:
     """Encoder-decoder (T5/mT5) one-liner — the reference enc_dec branch
@@ -235,15 +242,9 @@ class Seq2SeqLM:
     tokenizer: Optional[object] = None
 
     def __post_init__(self):
-        from .convert.hf import load_hf_config, load_hf_state_dict
         from .models import t5 as mt5
-        hf_cfg = load_hf_config(self.model)
-        mt = hf_cfg.model_type.lower()
-        assert mt in ("t5", "mt5", "umt5"), \
-            f"Seq2SeqLM supports t5-family configs, got {mt!r}"
-        self.cfg = mt5.config_from_hf(hf_cfg, _as_quant_config(self.quant))
-        self.params = mt5.params_from_hf(
-            self.cfg, load_hf_state_dict(self.model))
+        self.cfg, self.params = _load_hf_family(
+            self.model, mt5, ("t5", "mt5", "umt5"), "Seq2SeqLM", self.quant)
         if self.tokenizer is None:
             self.tokenizer = _try_tokenizer(self.model)
 
@@ -280,14 +281,9 @@ class Encoder:
     tokenizer: Optional[object] = None
 
     def __post_init__(self):
-        from .convert.hf import load_hf_config, load_hf_state_dict
         from .models import bert as mbert
-        hf_cfg = load_hf_config(self.model)
-        mt = hf_cfg.model_type.lower()
-        assert mt == "bert", f"Encoder supports bert configs, got {mt!r}"
-        self.cfg = mbert.config_from_hf(hf_cfg, _as_quant_config(self.quant))
-        self.params = mbert.params_from_hf(
-            self.cfg, load_hf_state_dict(self.model))
+        self.cfg, self.params = _load_hf_family(
+            self.model, mbert, ("bert",), "Encoder", self.quant)
         if self.tokenizer is None:
             self.tokenizer = _try_tokenizer(self.model)
 

@@ -192,13 +192,7 @@ def _cmd_summarize(args):
 
     llm = LLM(args.model, quant=args.quant,
               max_seq_len=args.max_input_len + args.output_len)
-    records = []
-    with open(args.data_file) as f:
-        for line in f:
-            if line.strip():
-                records.append(json.loads(line))
-            if len(records) >= args.max_samples:
-                break
+    records = _read_jsonl(args.data_file, args.max_samples)
     prompt_tmpl = "Summarize the following article:\n\n{}\n\nSummary:"
     hyps, refs = [], []
     for i in range(0, len(records), args.batch_size):
@@ -214,12 +208,25 @@ def _cmd_summarize(args):
             hyps.append(llm.tokenizer.decode(seq[len(p):],
                                              skip_special_tokens=True))
             refs.append(r["highlights"])
-    scores = rouge_scores(hyps, refs)
+    _gate_rouge(rouge_scores(hyps, refs), args.rouge1_threshold)
+
+
+def _read_jsonl(path: str, max_samples: int) -> list:
+    records = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                records.append(json.loads(line))
+            if len(records) >= max_samples:
+                break
+    return records
+
+
+def _gate_rouge(scores: dict, threshold) -> None:
     print(json.dumps({k: round(v, 3) for k, v in scores.items()}))
-    if args.rouge1_threshold is not None and \
-            scores["rouge1"] < args.rouge1_threshold:
+    if threshold is not None and scores["rouge1"] < threshold:
         sys.exit(f"rouge1 {scores['rouge1']:.2f} below threshold "
-                 f"{args.rouge1_threshold}")
+                 f"{threshold}")
 
 
 def _summarize_enc_dec(args, rouge_scores):
@@ -227,13 +234,7 @@ def _summarize_enc_dec(args, rouge_scores):
     from .api import Seq2SeqLM
 
     s2s = Seq2SeqLM(args.model, quant=args.quant)
-    records = []
-    with open(args.data_file) as f:
-        for line in f:
-            if line.strip():
-                records.append(json.loads(line))
-            if len(records) >= args.max_samples:
-                break
+    records = _read_jsonl(args.data_file, args.max_samples)
     hyps, refs = [], []
     for i in range(0, len(records), args.batch_size):
         chunk = records[i: i + args.batch_size]
@@ -244,12 +245,7 @@ def _summarize_enc_dec(args, rouge_scores):
         for r, o in zip(chunk, outs):
             hyps.append(s2s.tokenizer.decode(o, skip_special_tokens=True))
             refs.append(r["highlights"])
-    scores = rouge_scores(hyps, refs)
-    print(json.dumps({k: round(v, 3) for k, v in scores.items()}))
-    if args.rouge1_threshold is not None and \
-            scores["rouge1"] < args.rouge1_threshold:
-        sys.exit(f"rouge1 {scores['rouge1']:.2f} below threshold "
-                 f"{args.rouge1_threshold}")
+    _gate_rouge(rouge_scores(hyps, refs), args.rouge1_threshold)
 
 
 def _add_mmlu(sub):

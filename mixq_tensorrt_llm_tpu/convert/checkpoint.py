@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.common import ModelConfig
+from ..quant.config import QuantAlgo
 
 CONFIG_NAME = "config.json"
 WEIGHTS_NAME = "model.safetensors"
@@ -133,7 +134,7 @@ def _validate(params: Dict, cfg: ModelConfig) -> None:
             want = {"qweight", "scale_col", "fp_ind", "fp_weight"}
         elif algo.is_lr:
             want = {"qweight", "scale_col", "lr_u", "lr_v"}
-        elif algo.value == "w4a16_g":
+        elif algo == QuantAlgo.W4A16_G:
             want = {"qweight", "scale_g"}
         elif algo.is_weight_only or algo.is_fp8:
             want = {"qweight", "scale_col"}

@@ -93,10 +93,11 @@ class Request:
     finish_time: Optional[float] = None
     on_token: Optional[object] = None   # streaming callback(req, token)
     prefill_pos: int = 0                # tokens already prefilled
-    # crash-resume (Executor.snapshot/restore): tokens generated BEFORE the
-    # restart, visible to stop-sequence matching but re-prefilled as prompt
-    stop_ctx: List[int] = dataclasses.field(default_factory=list)
-    # (orig_prompt_len, prior_generated, prior_logprobs, orig_max, orig_min)
+    # crash-resume (Executor.snapshot/restore): pre-restart state riding a
+    # restored request until _finish unstitches it. Tuple of
+    # (orig_prompt_len, prior_generated, prior_logprobs, orig_max, orig_min);
+    # prior_generated counts as OUTPUT for stop-sequence matching even
+    # though it was re-prefilled as prompt.
     resume: Optional[tuple] = None
 
     @property
@@ -573,17 +574,20 @@ class Executor:
         is cheap (one pass) and exact. on_token streaming callbacks are
         not serializable and are dropped."""
         def ser(r: Request) -> dict:
+            # a restored-but-unfinished request carries its pre-restart
+            # state in `resume`; serialize the ORIGINAL request shape so
+            # snapshots of snapshots stay stable
+            if r.resume is not None:
+                plen, old_gen, old_lp, omax, omin = r.resume
+            else:
+                plen, old_gen, old_lp, omax, omin = (
+                    len(r.prompt), [], [], r.max_new_tokens,
+                    r.min_new_tokens)
             return {
-                "req_id": r.req_id, "prompt": list(r.prompt),
-                "generated": list(r.stop_ctx) + list(r.generated)
-                if r.resume is None else
-                list(r.resume[1]) + list(r.generated),
-                "logprobs": list(r.logprobs) if r.resume is None else
-                list(r.resume[2]) + list(r.logprobs),
-                "max_new_tokens": r.max_new_tokens if r.resume is None
-                else r.resume[3],
-                "min_new_tokens": r.min_new_tokens if r.resume is None
-                else r.resume[4],
+                "req_id": r.req_id, "prompt": list(r.prompt[:plen]),
+                "generated": list(old_gen) + list(r.generated),
+                "logprobs": list(old_lp) + list(r.logprobs),
+                "max_new_tokens": omax, "min_new_tokens": omin,
                 "eos_token_id": r.eos_token_id,
                 "sampling": dataclasses.asdict(r.sampling)
                 if r.sampling is not None else None,
@@ -593,16 +597,9 @@ class Executor:
                 "stop_sequences": r.stop_sequences,
                 "done": r.done,
             }
-        # a restored-but-unfinished request carries its true prompt length
-        # in resume[0]; undo the replay concatenation before serializing
-        def ser_pending(r: Request) -> dict:
-            d = ser(r)
-            if r.resume is not None:
-                d["prompt"] = list(r.prompt[:r.resume[0]])
-            return d
-        pending = ([ser_pending(r) for r in self.queue]
-                   + [ser_pending(r) for r in self.prefilling]
-                   + [ser_pending(r) for r in self.slots if r is not None])
+        pending = ([ser(r) for r in self.queue]
+                   + [ser(r) for r in self.prefilling]
+                   + [ser(r) for r in self.slots if r is not None])
         return {"pending": pending,
                 "finished": [ser(r) for r in self.finished.values()],
                 "next_id": self._next_id}
@@ -645,7 +642,6 @@ class Executor:
                         d["priority"], d["bad_words"],
                         d["logits_processor"], d["stop_sequences"])
             if gen:
-                r.stop_ctx = gen
                 r.resume = (len(d["prompt"]), gen, list(d["logprobs"]),
                             d["max_new_tokens"], d["min_new_tokens"])
             self.queue.append(r)
@@ -797,9 +793,9 @@ class Executor:
                    and len(req.generated) > req.min_new_tokens)
         hit_stop = False
         if req.stop_sequences and not hit_eos:
-            # stop_ctx extends matching across a snapshot/restore boundary
-            # (pre-restart tokens count as generated output, not prompt)
-            gen = req.stop_ctx + req.generated if req.stop_ctx \
+            # pre-restart tokens (resume[1]) extend matching across a
+            # snapshot/restore boundary: they count as generated output
+            gen = req.resume[1] + req.generated if req.resume \
                 else req.generated
             hit_stop = any(len(gen) >= len(ss)
                            and gen[-len(ss):] == list(ss)
@@ -818,7 +814,7 @@ class Executor:
             req.generated = old_gen + req.generated
             req.logprobs = old_lp + req.logprobs
             req.max_new_tokens, req.min_new_tokens = omax, omin
-            req.resume, req.stop_ctx = None, []
+            req.resume = None
         self.bm.free_sequence(req.req_id)
         self.finished[req.req_id] = req
         self.slots[self.slots.index(req)] = None

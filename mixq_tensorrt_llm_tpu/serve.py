@@ -202,6 +202,8 @@ class InferenceServer:
 
 
 def make_handler(server: InferenceServer):
+    from .runtime.scheduler import QueueFullError
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):   # quiet
             pass
@@ -287,16 +289,12 @@ def make_handler(server: InferenceServer):
                     return
                 out = server.generate(req.get("prompt", ""), **kw)
                 self._json(200, out)
+            except QueueFullError as e:
+                self._json(503, {"error": str(e)})       # backpressure
             except (ValueError, KeyError, AssertionError) as e:
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
-            except RuntimeError as e:
-                from .runtime.scheduler import QueueFullError
-                if isinstance(e, QueueFullError):
-                    self._json(503, {"error": str(e)})   # backpressure
-                else:
-                    raise
 
     return Handler
 
