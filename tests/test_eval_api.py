@@ -165,3 +165,26 @@ class TestEncDecSummarize:
         _cmd_summarize(args)
         scores = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert set(scores) == {"rouge1", "rouge2", "rougeL"}
+
+def test_llm_auto_quantize_w4a16_g(tmp_path):
+    """LLM accepts a full QuantConfig (custom group_size) and the
+    w4a16_g checkpoint round-trips through the cache dir."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+    d = tmp_path / "hf"
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5)
+    torch.manual_seed(0)
+    LlamaForCausalLM(hf_cfg).save_pretrained(str(d))
+
+    from mixq_tensorrt_llm_tpu.api import LLM
+    from mixq_tensorrt_llm_tpu.quant import QuantConfig
+    qc = QuantConfig(algo=QuantAlgo.W4A16_G, group_size=32)
+    llm = LLM(str(d), quant=qc, max_seq_len=64,
+              cache_dir=str(tmp_path / "cache"))
+    assert llm.cfg.quant.algo == QuantAlgo.W4A16_G
+    assert llm.cfg.quant.group_size == 32
+    out = llm.generate_tokens([[1, 2, 3]], max_new_tokens=4)
+    assert len(out.sequences[0]) == 7
