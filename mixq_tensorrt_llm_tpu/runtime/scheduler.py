@@ -955,6 +955,52 @@ class Executor:
                 produced += 1
         return produced
 
+    def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0
+                  ) -> Dict[int, Request]:
+        """Drive all QUEUED requests with paged copy-on-write beam search
+        (reference executor beam_width / SamplingConfig.beam_width; the
+        session parity path is generate(num_beams=)).
+
+        FIFO batches of up to max_batch run through
+        runtime.beam.paged_beam_search — prompt KV written once per
+        request, beams fork tail pages COW — and each request's best
+        hypothesis lands in Request.generated. Like the reference's
+        engine-wide maxBeamWidth, the beam config is uniform: all queued
+        requests must share max_new_tokens and eos_token_id, and
+        per-request logits controls are rejected.
+        """
+        assert self.num_active == 0 and not self.prefilling, \
+            "run_beams drives queued work only (drain decode work first)"
+        assert self.mesh is None, "run_beams: single-device only"
+        from .beam import paged_beam_search
+        if not self.queue:
+            return self.finished
+        budgets = {r.max_new_tokens for r in self.queue}
+        eoses = {r.eos_token_id for r in self.queue}
+        assert len(budgets) == 1 and len(eoses) == 1, \
+            "run_beams needs uniform max_new_tokens and eos across the " \
+            f"queue (got budgets {budgets}, eos {eoses})"
+        for r in self.queue:
+            assert not (r.bad_words or r.logits_processor
+                        or r.stop_sequences or r.min_new_tokens
+                        or r.lora_id), \
+                "per-request logits controls unsupported in beam mode"
+        n, eos = budgets.pop(), eoses.pop()
+        while self.queue:
+            batch = [self.queue.popleft()
+                     for _ in range(min(self.max_batch, len(self.queue)))]
+            res = paged_beam_search(
+                self.params, self.cfg, [r.prompt for r in batch], n,
+                num_beams=num_beams, length_penalty=length_penalty,
+                eos_token_id=eos, max_seq_len=self.max_seq_len,
+                block_size=self.block_size)
+            for r, seq in zip(batch, res.sequences):
+                r.generated = list(seq[len(r.prompt):])
+                r.done = True
+                r.finish_time = time.perf_counter()
+                self.finished[r.req_id] = r
+        return self.finished
+
     def run(self, burst: int = 1) -> Dict[int, Request]:
         """Drive until all submitted work is finished.
 

@@ -60,3 +60,35 @@ class TestBeamSearch:
                            eos_token_id=tok, max_seq_len=64)
         seq = out2.sequences[0]
         assert tok not in seq[2:-1]   # truncated at first eos
+
+
+def test_executor_run_beams_matches_direct():
+    """Executor.run_beams plumbing: FIFO batches through
+    paged_beam_search, best hypothesis per request, queue drained."""
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime.beam import paged_beam_search
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4], [2, 7, 1, 8], [5, 6]]
+
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=48, block_size=8)
+    ids = [ex.submit(p, max_new_tokens=6) for p in prompts]
+    done = ex.run_beams(num_beams=3)
+    assert all(done[r].done for r in ids)
+
+    # same FIFO grouping as run_beams uses (max_batch=2 -> [0,1], [2])
+    want = (paged_beam_search(params, cfg, prompts[:2], 6, num_beams=3,
+                              max_seq_len=48, block_size=8).sequences
+            + paged_beam_search(params, cfg, prompts[2:], 6, num_beams=3,
+                                max_seq_len=48, block_size=8).sequences)
+    for rid, p, w in zip(ids, prompts, want):
+        assert done[rid].generated == list(w[len(p):])
+
+    ex2 = Executor(params, cfg, max_batch=2, max_seq_len=48, block_size=8)
+    ex2.submit([1, 2], max_new_tokens=3)
+    ex2.submit([1, 2], max_new_tokens=5)
+    with pytest.raises(AssertionError, match="uniform"):
+        ex2.run_beams()
