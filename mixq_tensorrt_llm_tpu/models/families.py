@@ -1001,9 +1001,9 @@ def _quantize_layer(cfg: ModelConfig, fl: Dict, act_scales, i: int) -> Dict:
         moe = {
             "router": {"w": jnp.asarray(fl["router_w"], jnp.bfloat16)},
             "gate_up": moe_mod.quantize_expert_linear(
-                jnp.asarray(fl["experts_gate_up"], jnp.float32), algo),
+                jnp.asarray(fl["experts_gate_up"], jnp.float32), algo, cfg.quant.group_size),
             "down": moe_mod.quantize_expert_linear(
-                jnp.asarray(fl["experts_down"], jnp.float32), algo),
+                jnp.asarray(fl["experts_down"], jnp.float32), algo, cfg.quant.group_size),
         }
         if "shared_gate_up_w" in fl:
             for src, dst in (("shared_gate_up_w", "shared_gate_up"),

@@ -109,9 +109,9 @@ def _quantize_layer(cfg: ModelConfig, float_layer: Dict[str, jnp.ndarray],
         out["moe"] = {
             "router": {"w": float_layer["router_w"].astype(jnp.bfloat16)},
             "gate_up": moe_mod.quantize_expert_linear(
-                float_layer["experts_gate_up"], algo),
+                float_layer["experts_gate_up"], algo, cfg.quant.group_size),
             "down": moe_mod.quantize_expert_linear(
-                float_layer["experts_down"], algo),
+                float_layer["experts_down"], algo, cfg.quant.group_size),
         }
         mods = ("qkv_proj", "o_proj")
     else:

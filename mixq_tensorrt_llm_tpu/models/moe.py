@@ -56,13 +56,8 @@ def _expert_linear(params: Dict, x: jax.Array, algo: QuantAlgo) -> jax.Array:
     x (E, T, in) -> (E, T, out). int8 weights are dequantized into the
     einsum (weight-only semantics; T is small per expert after routing in
     the ragged upgrade, dense here)."""
-    if algo == QuantAlgo.NONE:
-        w = params["w"].astype(jnp.bfloat16)
-    else:
-        qw = params["qweight"]
-        w = (qw.astype(jnp.float32)
-             * params["scale_col"][:, None, :]).astype(jnp.bfloat16)
-    out = jnp.einsum("eti,eio->eto", x.astype(jnp.bfloat16), w,
+    out = jnp.einsum("eti,eio->eto", x.astype(jnp.bfloat16),
+                     _dequant_stack(params),
                      preferred_element_type=jnp.float32)
     return out
 
@@ -73,10 +68,18 @@ def _use_ragged() -> bool:
 
 
 def _dequant_stack(params: Dict) -> jax.Array:
-    """Expert-stacked weight (E, in, out) in bf16 (weight-only dequant)."""
+    """Expert-stacked weight (E, in, out) in bf16 (weight-only dequant;
+    per-channel scale_col (E, out) or per-group scale_g (E, in/G, out))."""
     if "w" in params:
         return params["w"].astype(jnp.bfloat16)
-    return (params["qweight"].astype(jnp.float32)
+    q = params["qweight"]
+    if "scale_g" in params:
+        e, k, n = q.shape
+        g = params["scale_g"].shape[1]
+        wg = (q.astype(jnp.float32).reshape(e, g, k // g, n)
+              * params["scale_g"][:, :, None, :])
+        return wg.reshape(e, k, n).astype(jnp.bfloat16)
+    return (q.astype(jnp.float32)
             * params["scale_col"][:, None, :]).astype(jnp.bfloat16)
 
 
@@ -181,21 +184,23 @@ def _moe_mlp_dense(cfg: ModelConfig, moe_params: Dict,
     return mixed.reshape(b, s, h).astype(x.dtype)
 
 
-def quantize_expert_linear(w_stack: jax.Array, algo: QuantAlgo) -> Dict:
-    """w_stack (E, in, out) float -> expert-stacked params dict.
-
-    W4A16_G falls back to per-channel int4 for expert weights (the
-    expert-batched forward consumes scale_col; group scales for experts
-    are a possible future refinement)."""
+def quantize_expert_linear(w_stack: jax.Array, algo: QuantAlgo,
+                           group_size: int = 128) -> Dict:
+    """w_stack (E, in, out) float -> expert-stacked params dict
+    (W4A16_G: per-expert per-group scales, scale_g (E, in/G, out))."""
     if algo == QuantAlgo.NONE:
         return {"w": w_stack.astype(jnp.bfloat16)}
     bits = algo.weight_bits
     qs, ss = [], []
     for e in range(w_stack.shape[0]):
-        if bits == 8:
+        if algo == QuantAlgo.W4A16_G:
+            q, sc = qcore.quantize_weight_int4_grouped(w_stack[e],
+                                                       group_size)
+        elif bits == 8:
             q, sc = qcore.quantize_weight_int8(w_stack[e])
         else:
             q, sc = qcore.quantize_weight_int4(w_stack[e])
         qs.append(q)
         ss.append(sc.astype(jnp.float32))
-    return {"qweight": jnp.stack(qs), "scale_col": jnp.stack(ss)}
+    key = "scale_g" if algo == QuantAlgo.W4A16_G else "scale_col"
+    return {"qweight": jnp.stack(qs), key: jnp.stack(ss)}

@@ -259,3 +259,33 @@ def test_expert_parallel_ragged_matches_dense():
     with ep.use_expert_parallel(mesh):
         got2 = moe_mod.moe_mlp(cfg, moe_params, x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_w4a16_g_experts_grouped_scales():
+    """Expert weights quantized w4a16_g carry per-expert group scales and
+    the MoE forward consumes them (tighter than per-channel int4)."""
+    cfg = moe_cfg(quant=QuantConfig(algo=QuantAlgo.W4A16_G, group_size=32))
+    key = jax.random.PRNGKey(5)
+    e, h, i = 4, 64, 96
+    w = jax.random.normal(key, (e, h, 2 * i), jnp.float32) \
+        * jnp.logspace(-2, 0, h)[None, :, None]
+    p_g = quantize_expert_linear(w, QuantAlgo.W4A16_G, 32)
+    assert p_g["scale_g"].shape == (e, h // 32, 2 * i)
+    p_c = quantize_expert_linear(w, QuantAlgo.W4A16)
+    from mixq_tensorrt_llm_tpu.models.moe import _dequant_stack
+    err_g = float(jnp.linalg.norm(
+        _dequant_stack(p_g).astype(jnp.float32) - w))
+    err_c = float(jnp.linalg.norm(
+        _dequant_stack(p_c).astype(jnp.float32) - w))
+    assert err_g < err_c, (err_g, err_c)
+
+    # end-to-end: MoE model generates under w4a16_g
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    assert "scale_g" in jax.tree.leaves(
+        params["layers"]["moe"]["gate_up"], is_leaf=lambda x: False) \
+        or "scale_g" in params["layers"]["moe"]["gate_up"]
+    from mixq_tensorrt_llm_tpu.runtime import GenerationSession
+    sess = GenerationSession(params, cfg, max_seq_len=24,
+                             prefill_buckets=(8,))
+    out = sess.generate([[1, 2, 3]], 4).sequences[0]
+    assert len(out) == 7
