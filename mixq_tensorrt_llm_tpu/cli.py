@@ -285,6 +285,9 @@ def _add_serve(sub):
     p.add_argument("--snapshot_path", default=None,
                    help="crash-resume: restore pending work from this JSON "
                         "at boot and keep snapshotting while serving")
+    p.add_argument("--max_queue_size", type=int, default=0,
+                   help="admission backpressure: reject (HTTP 503) when "
+                        "this many requests are queued (0 = unbounded)")
     return p
 
 
@@ -296,7 +299,8 @@ def _cmd_serve(args):
     run_server(llm, host=args.host, port=args.port,
                max_batch=args.max_batch, block_size=args.block_size,
                prefill_chunk=args.prefill_chunk,
-               snapshot_path=args.snapshot_path)
+               snapshot_path=args.snapshot_path,
+               max_queue_size=args.max_queue_size)
 
 
 def main(argv=None):
