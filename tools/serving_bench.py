@@ -38,6 +38,8 @@ def main():
                     help="self-draft run_speculative (acceptance upper "
                          "bound; reports tokens/round)")
     ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--beams", type=int, default=0,
+                    help="run_beams beam width (0 = greedy serving)")
     args = ap.parse_args()
 
     from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
@@ -83,12 +85,16 @@ def main():
             for i in range(args.requests)]
     if args.speculative:
         done = ex.run_speculative(params, cfg, gamma=args.gamma)
+    elif args.beams:
+        done = ex.run_beams(num_beams=args.beams)
     else:
         done = ex.run(burst=args.burst)
     wall = time.time() - t0
 
     gen_total = sum(len(done[r].generated) for r in rids)
-    ttfts = sorted(done[r].first_token_time - done[r].submit_time
+    ttfts = sorted(done[r].finish_time - done[r].submit_time
+                   if done[r].first_token_time is None else
+                   done[r].first_token_time - done[r].submit_time
                    for r in rids)
     print(json.dumps({
         "requests": args.requests, "prompt": args.prompt, "gen": args.gen,
