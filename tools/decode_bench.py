@@ -33,6 +33,8 @@ def main():
                     help="unquantized baseline instead of int8_mix")
     ap.add_argument("--int4", action="store_true",
                     help="int4_mix weights (packed in-kernel unpack)")
+    ap.add_argument("--w4a16_g", action="store_true",
+                    help="group-wise int4 weights (grouped packed kernel)")
     args = ap.parse_args()
 
     from mixq_tensorrt_llm_tpu.models import (ModelConfig, llama as mllama,
@@ -43,6 +45,9 @@ def main():
 
     if args.bf16:
         quant = QuantConfig()
+    elif args.w4a16_g:
+        quant = QuantConfig(algo=QuantAlgo.W4A16_G,
+                            kv_cache=KVCacheQuantAlgo.INT8)
     elif args.int4:
         quant = QuantConfig(algo=QuantAlgo.INT4_MIX, num_outliers=128,
                             kv_cache=KVCacheQuantAlgo.INT8)
@@ -114,6 +119,7 @@ def main():
     step_ms = best * 1e3 * scale
     tok_s = args.bs / (best * scale)
     mode = ("bf16" if args.bf16 else
+            "w4a16_g+int8kv" if args.w4a16_g else
             "int4_mix+int8kv" if args.int4 else "int8_mix+int8kv")
     print(f"decode {mode} bs={args.bs} ctx={args.ctx} "
           f"({args.layers} layers scaled x{scale:.0f}): "
