@@ -955,6 +955,19 @@ class Executor:
                 produced += 1
         return produced
 
+    def warmup(self, prompt_len: Optional[int] = None, burst: int = 1
+               ) -> None:
+        """Compile the prefill / decode (/ burst) programs before real
+        traffic (the reference pays this offline at engine build; under
+        jit the cost lands on the first request unless moved here). Runs
+        one dummy request end-to-end and discards it."""
+        assert not self.has_work, "warmup() on an idle executor only"
+        n = prompt_len or min(self.prefill_chunk, self.max_seq_len // 2)
+        n = min(n, self.max_seq_len - burst - 2)
+        rid = self.submit([1] * max(n, 1), max_new_tokens=burst + 1)
+        self.run(burst=burst)
+        self.finished.pop(rid, None)
+
     def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0
                   ) -> Dict[int, Request]:
         """Drive all QUEUED requests with paged copy-on-write beam search

@@ -39,12 +39,16 @@ class InferenceServer:
     def __init__(self, llm, max_batch: int = 8, block_size: int = 64,
                  prefill_chunk: int = 256, snapshot_path=None,
                  snapshot_interval_s: float = 30.0,
-                 max_queue_size: int = 0):
+                 max_queue_size: int = 0, warmup: bool = False):
         self.llm = llm
         self.executor = llm.make_executor(max_batch=max_batch,
                                           block_size=block_size,
                                           prefill_chunk=prefill_chunk,
                                           max_queue_size=max_queue_size)
+        if warmup:
+            # compile prefill/decode before accepting traffic so the
+            # first request sees steady-state latency
+            self.executor.warmup()
         # crash-resume: reload pending work from a previous process's
         # snapshot and keep snapshotting while work is in flight
         # (Executor.snapshot/restore; results of resumed requests land in

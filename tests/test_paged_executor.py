@@ -294,3 +294,20 @@ def test_max_queue_size_backpressure(quantized_model):
     ex.run()
     rid = ex.submit([5, 6], max_new_tokens=2)     # drained: accepted
     assert len(ex.run()[rid].generated) == 2
+
+
+def test_warmup_compiles_and_discards(quantized_model):
+    """warmup() leaves no residue and later requests behave identically
+    to a cold executor's."""
+    params, cfg = quantized_model
+    kw = dict(max_batch=2, max_seq_len=32, block_size=8, prefill_chunk=8)
+    ex = Executor(params, cfg, seed=0, **kw)
+    ex.warmup(burst=2)
+    assert not ex.finished and ex.num_active == 0
+    assert ex.bm.num_free == ex.bm.num_blocks - 1    # all pages returned
+    rid = ex.submit([1, 2, 3], max_new_tokens=5)
+    got = ex.run()[rid].generated
+
+    cold = Executor(params, cfg, seed=0, **kw)
+    r2 = cold.submit([1, 2, 3], max_new_tokens=5)
+    assert cold.run()[r2].generated == got
