@@ -288,6 +288,9 @@ def _add_serve(sub):
     p.add_argument("--max_queue_size", type=int, default=0,
                    help="admission backpressure: reject (HTTP 503) when "
                         "this many requests are queued (0 = unbounded)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile serving programs before accepting "
+                        "traffic (steady-state first-request latency)")
     return p
 
 
@@ -300,7 +303,7 @@ def _cmd_serve(args):
                max_batch=args.max_batch, block_size=args.block_size,
                prefill_chunk=args.prefill_chunk,
                snapshot_path=args.snapshot_path,
-               max_queue_size=args.max_queue_size)
+               max_queue_size=args.max_queue_size, warmup=args.warmup)
 
 
 def main(argv=None):

@@ -306,11 +306,11 @@ def make_handler(server: InferenceServer):
 def run_server(llm, host: str = "127.0.0.1", port: int = 8000,
                max_batch: int = 8, block_size: int = 64,
                prefill_chunk: int = 256, snapshot_path=None,
-               max_queue_size: int = 0) -> None:
+               max_queue_size: int = 0, warmup: bool = False) -> None:
     srv = InferenceServer(llm, max_batch=max_batch, block_size=block_size,
                           prefill_chunk=prefill_chunk,
                           snapshot_path=snapshot_path,
-                          max_queue_size=max_queue_size)
+                          max_queue_size=max_queue_size, warmup=warmup)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     print(f"serving on http://{host}:{port} "
           f"(POST /generate, GET /health)", flush=True)
