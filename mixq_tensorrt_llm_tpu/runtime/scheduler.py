@@ -824,6 +824,19 @@ class Executor:
         """Last n IterationStats (reference get_latest_iteration_stats)."""
         return list(self.iteration_stats)[-n:]
 
+    def get_kv_cache_stats(self) -> dict:
+        """Pool accounting (reference executor.pyi KvCacheStats:
+        max/free/used block counts, tokens per block; plus the prefix
+        cache's held blocks). Block 0 is the reserved trash block."""
+        total = self.bm.num_blocks - 1
+        free = self.bm.num_free
+        cached = self.bm.prefix_cache_size if self.block_reuse else 0
+        return {"max_num_blocks": total,
+                "free_num_blocks": free,
+                "used_num_blocks": total - free - cached,
+                "cached_num_blocks": cached,
+                "tokens_per_block": self.block_size}
+
     def _record_stats(self, t0: float, produced: int) -> None:
         self._iter_id += 1
         self.iteration_stats.append(IterationStats(

@@ -311,3 +311,21 @@ def test_warmup_compiles_and_discards(quantized_model):
     cold = Executor(params, cfg, seed=0, **kw)
     r2 = cold.submit([1, 2, 3], max_new_tokens=5)
     assert cold.run()[r2].generated == got
+
+
+def test_kv_cache_stats(quantized_model):
+    """get_kv_cache_stats mirrors reference KvCacheStats accounting."""
+    params, cfg = quantized_model
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=32, block_size=8,
+                  num_blocks=16)
+    s0 = ex.get_kv_cache_stats()
+    assert s0 == {"max_num_blocks": 15, "free_num_blocks": 15,
+                  "used_num_blocks": 0, "cached_num_blocks": 0,
+                  "tokens_per_block": 8}
+    rid = ex.submit([1] * 9, max_new_tokens=3)   # 2 blocks + growth
+    ex.step()
+    mid = ex.get_kv_cache_stats()
+    assert mid["used_num_blocks"] > 0
+    assert mid["used_num_blocks"] + mid["free_num_blocks"] == 15
+    ex.run()
+    assert ex.get_kv_cache_stats() == s0         # all pages returned
