@@ -227,7 +227,8 @@ def make_handler(server: InferenceServer):
                     st = ex.get_latest_iteration_stats(20)
                     payload = {"status": "ok", "active": ex.num_active,
                                "queued": len(ex.queue),
-                               "prefilling": len(ex.prefilling)}
+                               "prefilling": len(ex.prefilling),
+                               "kv": ex.get_kv_cache_stats()}
                     if st:
                         dt = sum(x.step_time_s for x in st)
                         payload.update(
