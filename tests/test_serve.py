@@ -53,6 +53,9 @@ def test_health(server):
     with urllib.request.urlopen(server + "/health", timeout=30) as r:
         h = json.loads(r.read())
     assert h["status"] == "ok"
+    kv = h["kv"]      # reference KvCacheStats fields
+    assert kv["free_num_blocks"] + kv["used_num_blocks"] \
+        + kv["cached_num_blocks"] == kv["max_num_blocks"]
 
 
 def test_generate_tokens(server):
