@@ -107,3 +107,34 @@ def test_finished_and_queue_survive(setup):
     assert done[b].generated == want[0].generated
     c = ex2.submit([9, 9], max_new_tokens=2)
     assert c > max(a, b)
+
+
+def test_snapshot_restore_under_tp_mesh(setup):
+    """Crash-resume for tensor-parallel serving: a mid-flight snapshot
+    from a tp=2 mesh executor restores onto a fresh mesh executor with
+    bit-identical continuation."""
+    import numpy as np
+    from jax.sharding import Mesh
+    params, cfg = setup
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 1, 2),
+                ("dp", "pp", "tp"))
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+
+    plain = Executor(params, cfg, seed=0, mesh=mesh, **kw)
+    rid = plain.submit([3, 1, 4, 1], max_new_tokens=10)
+    want = plain.run()[rid].generated
+
+    ex = Executor(params, cfg, seed=0, mesh=mesh, **kw)
+    ex.submit([3, 1, 4, 1], max_new_tokens=10)
+    while ex.has_work:
+        ex.step()
+        live = [r for r in ex.slots if r is not None]
+        if live and len(live[0].generated) >= 4:
+            break
+    snap = json.loads(json.dumps(ex.snapshot()))
+
+    ex2 = Executor(params, cfg, seed=0, mesh=mesh, **kw)
+    ex2.restore(snap)
+    got = ex2.run()[rid]
+    assert got.generated == want
+    assert got.prompt == [3, 1, 4, 1]
