@@ -46,9 +46,13 @@ def _write_kernel_quant(pg_ref, off_ref,
     i = pl.program_id(0)
     off = off_ref[i]
     h, bs, d = ki_ref.shape[1:]
+    # new token arrives pre-shaped (1, h, 1, d): indexing [0] yields (h, 1, d)
+    # whose sublane broadcast to (h, bs, d) Mosaic supports; an in-kernel
+    # [:, None, :] would need a (1,h,d)->(h,1,d) relayout it cannot lower
+    # for 16-bit types ("unsupported shape cast")
     sel3 = jax.lax.broadcasted_iota(jnp.int32, (h, bs, d), 1) == off
-    ko_ref[0] = jnp.where(sel3, nk_ref[0][:, None, :], ki_ref[0])
-    vo_ref[0] = jnp.where(sel3, nv_ref[0][:, None, :], vi_ref[0])
+    ko_ref[0] = jnp.where(sel3, nk_ref[0], ki_ref[0])
+    vo_ref[0] = jnp.where(sel3, nv_ref[0], vi_ref[0])
     sel2 = jax.lax.broadcasted_iota(jnp.int32, (h, bs), 1) == off
     kso_ref[0] = jnp.where(sel2, nks_ref[0, 0][:, None], ksi_ref[0])
     vso_ref[0] = jnp.where(sel2, nvs_ref[0, 0][:, None], vsi_ref[0])
@@ -62,8 +66,8 @@ def _write_kernel_plain(pg_ref, off_ref,
     off = off_ref[i]
     h, bs, d = ki_ref.shape[1:]
     sel3 = jax.lax.broadcasted_iota(jnp.int32, (h, bs, d), 1) == off
-    ko_ref[0] = jnp.where(sel3, nk_ref[0][:, None, :], ki_ref[0])
-    vo_ref[0] = jnp.where(sel3, nv_ref[0][:, None, :], vi_ref[0])
+    ko_ref[0] = jnp.where(sel3, nk_ref[0], ki_ref[0])   # nk (h, 1, d)
+    vo_ref[0] = jnp.where(sel3, nv_ref[0], vi_ref[0])
 
 
 def paged_write_token(layer_caches: dict, pg: jax.Array, off: jax.Array,
@@ -93,7 +97,7 @@ def paged_write_token(layer_caches: dict, pg: jax.Array, off: jax.Array,
 
     page_spec = pl.BlockSpec((1, h, bs, d), lambda i, pg, off: (pg[i], 0, 0, 0))
     scale_spec = pl.BlockSpec((1, h, bs), lambda i, pg, off: (pg[i], 0, 0))
-    new_spec = pl.BlockSpec((1, h, d), lambda i, pg, off: (i, 0, 0))
+    new_spec = pl.BlockSpec((1, h, 1, d), lambda i, pg, off: (i, 0, 0, 0))
     nscale_spec = pl.BlockSpec((1, 1, h), lambda i, pg, off: (i, 0, 0))
 
     if quantized:
@@ -117,7 +121,8 @@ def paged_write_token(layer_caches: dict, pg: jax.Array, off: jax.Array,
             # operand indices include the scalar-prefetch args (pg=0, off=1)
             input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
             interpret=interpret,
-        )(pg, off, qk.astype(k4.dtype), qv.astype(v4.dtype),
+        )(pg, off, qk.astype(k4.dtype)[:, :, None, :],
+          qv.astype(v4.dtype)[:, :, None, :],
           sk[:, None, :].astype(ks4.dtype), sv[:, None, :].astype(vs4.dtype),
           k4, v4, ks4, vs4)
         return {"k": k4, "v": v4, "k_scale": ks4, "v_scale": vs4}
@@ -134,7 +139,8 @@ def paged_write_token(layer_caches: dict, pg: jax.Array, off: jax.Array,
                    jax.ShapeDtypeStruct(v4.shape, v4.dtype)],
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
-    )(pg, off, new_k.astype(k4.dtype), new_v.astype(v4.dtype), k4, v4)
+    )(pg, off, new_k.astype(k4.dtype)[:, :, None, :],
+      new_v.astype(v4.dtype)[:, :, None, :], k4, v4)
     return {"k": k4, "v": v4}
 
 

@@ -100,9 +100,11 @@ def _wo_packed_kernel(x_lo_ref, x_hi_ref, qp_ref, scol_ref, out_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = qp_ref[:]                                    # int8 (bk, bn) packed
-    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.bfloat16)
-    hi = (p >> 4).astype(jnp.bfloat16)
+    # nibble unpack in i32: Mosaic on current TPU runtimes cannot legalize
+    # arith.shli on i8 vectors ("failed to legalize operation 'arith.shli'")
+    p = qp_ref[:].astype(jnp.int32)                  # sign-extended packed
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)      # signed low nibble
+    hi = (p >> 4).astype(jnp.bfloat16)               # signed high nibble
     acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
     acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
 
@@ -176,28 +178,34 @@ def wo_matmul_packed(x, qweight_packed, scale_col, out_dtype=jnp.bfloat16,
 # packed int4 with PER-GROUP scales (QuantAlgo.W4A16_G)
 # ---------------------------------------------------------------------------
 
-def _wo_packed_grouped_kernel(x_lo_ref, x_hi_ref, qp_ref, slo_ref, shi_ref,
+def _wo_packed_grouped_kernel(x_lo_ref, x_hi_ref, qp_ref, sg_ref,
                               out_ref, acc_ref, *, n_k_steps, groups_per_blk,
-                              gs):
+                              gs, n_lo_groups):
     k_step = pl.program_id(2)
 
     @pl.when(k_step == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = qp_ref[:]                                    # int8 (bk, bn) packed
-    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.bfloat16)
-    hi = (p >> 4).astype(jnp.bfloat16)
+    # nibble unpack in i32: Mosaic on current TPU runtimes cannot legalize
+    # arith.shli on i8 vectors ("failed to legalize operation 'arith.shli'")
+    p = qp_ref[:].astype(jnp.int32)                  # sign-extended packed
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)      # signed low nibble
+    hi = (p >> 4).astype(jnp.bfloat16)               # signed high nibble
     # per-group scales differ along K, so each group's partial dot is
-    # scaled in f32 BEFORE accumulation (exact — no scaled-weight rounding)
+    # scaled in f32 BEFORE accumulation (exact — no scaled-weight rounding).
+    # sg_ref carries the FULL (K/gs, bn) scale column (a per-block
+    # (groups_per_blk, bn) slice would break Mosaic's 8-sublane block rule
+    # whenever groups_per_blk < 8); the block's rows are dynamic-sliced out.
+    base = k_step * groups_per_blk
     for g in range(groups_per_blk):
         rows = slice(g * gs, (g + 1) * gs)
         acc_ref[:] += jnp.dot(x_lo_ref[:, rows], lo[rows, :],
                               preferred_element_type=jnp.float32) \
-            * slo_ref[g:g + 1, :].astype(jnp.float32)
+            * sg_ref[pl.ds(base + g, 1), :].astype(jnp.float32)
         acc_ref[:] += jnp.dot(x_hi_ref[:, rows], hi[rows, :],
                               preferred_element_type=jnp.float32) \
-            * shi_ref[g:g + 1, :].astype(jnp.float32)
+            * sg_ref[pl.ds(n_lo_groups + base + g, 1), :].astype(jnp.float32)
 
     @pl.when(k_step == n_k_steps - 1)
     def _():
@@ -244,20 +252,18 @@ def wo_matmul_packed_grouped(x, qweight_packed, scale_g, group_size: int,
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
 
     n_k_steps = kp // bk
-    hi_base = kp // gs // groups_per_blk      # block offset of hi groups
     grid = (m_pad // bm, n // bn, n_k_steps)
 
     out = pl.pallas_call(
         functools.partial(_wo_packed_grouped_kernel, n_k_steps=n_k_steps,
-                          groups_per_blk=groups_per_blk, gs=gs),
+                          groups_per_blk=groups_per_blk, gs=gs,
+                          n_lo_groups=kp // gs),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x [0, K/2)
             pl.BlockSpec((bm, bk), lambda i, j, s: (i, s)),   # x [K/2, K)
             pl.BlockSpec((bk, bn), lambda i, j, s: (s, j)),
-            pl.BlockSpec((groups_per_blk, bn), lambda i, j, s: (s, j)),
-            pl.BlockSpec((groups_per_blk, bn),
-                         lambda i, j, s: (hi_base + s, j)),
+            pl.BlockSpec((k // gs, bn), lambda i, j, s: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
@@ -273,5 +279,5 @@ def wo_matmul_packed_grouped(x, qweight_packed, scale_g, group_size: int,
         ),
         interpret=interpret,
     )(x[:, :kp].astype(jnp.bfloat16), x[:, kp:].astype(jnp.bfloat16),
-      qweight_packed, scale_g, scale_g)
+      qweight_packed, scale_g)
     return out[:m]
