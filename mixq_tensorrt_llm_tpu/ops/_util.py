@@ -30,6 +30,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def kernel_enabled(env: str) -> bool:
+    """Gate for routing an op through its Pallas kernel: on by default on
+    TPU, off elsewhere; env var overrides — "0" disables everywhere,
+    "force" enables even off-TPU (the kernel then runs in interpret mode
+    via resolve_interpret, which is how the CPU mesh tests exercise the
+    multi-device kernel data plane)."""
+    import os
+    v = os.environ.get(env, "1")
+    if v == "force":
+        return True
+    return _on_tpu() and v != "0"
+
+
 def resolve_interpret(interpret) -> bool:
     """None -> interpret on non-TPU platforms (so MIXQ_BACKEND=pallas works
     on CPU for debugging); explicit bool wins."""

@@ -71,7 +71,8 @@ def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
                    q_ref, k_ref, v_ref, ks_ref, vs_ref,    # inputs
                    out_ref,                                # output
                    acc_ref, m_ref, l_ref,
-                   *, bs, hkv, g, scale, quantized, window, sink, s=1):
+                   *, bs, hkv, g, scale, quantized, window, sink, s=1,
+                   softcap=0.0):
     """s == 1 is the decode hot path; s > 1 (small verify chunks —
     speculative decoding's gamma+1 rows) flattens queries onto the row
     axis as (S, Hq) with per-row causal positions qstart + row//Hq."""
@@ -104,6 +105,11 @@ def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
             preferred_element_type=jnp.float32)          # (S*Hq, Hkv*BS)
         if quantized:
             logits = logits * ks_ref[0].astype(jnp.float32)  # (1, Hkv*BS)
+        if softcap:
+            # Gemma-2 attn_logit_softcapping: tanh cap on the full
+            # (dequantized) logits, before masking — same order as
+            # ops/ref.attention
+            logits = jnp.tanh(logits / softcap) * softcap
 
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, hkv * bs), 0)
         row_h = (row % hq) // g
@@ -141,11 +147,11 @@ def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
-                                             "interpret"))
+                                             "softcap", "interpret"))
 def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
                            block_table, lens, scale: float,
                            block_pos=None, window: int = 0, sink: int = 0,
-                           interpret=None):
+                           softcap: float = 0.0, interpret=None):
     """q (B, Hq, D); k/v pages (NB, Hkv, BS, D) [+ scales (NB, Hkv, BS) when
     int8]; block_table/block_pos (B, MB) int32 page ids / base positions;
     lens (B,) kv lengths -> (B, Hq, D).
@@ -157,15 +163,16 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     return _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
                                block_table, lens, lens - 1, scale, 1,
                                block_pos=block_pos, window=window,
-                               sink=sink, interpret=interpret)
+                               sink=sink, softcap=softcap,
+                               interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
-                                             "interpret"))
+                                             "softcap", "interpret"))
 def paged_verify_attention(q, k_pages, v_pages, k_scale, v_scale,
                            block_table, lens, qstart, scale: float,
                            block_pos=None, window: int = 0, sink: int = 0,
-                           interpret=None):
+                           softcap: float = 0.0, interpret=None):
     """Small-q causal attention over the paged pool: q (B, S, Hq, D) with
     queries at absolute positions qstart .. qstart+S-1 -> (B, S, Hq, D).
 
@@ -177,14 +184,15 @@ def paged_verify_attention(q, k_pages, v_pages, k_scale, v_scale,
     out = _paged_mq_attention(q.reshape(b, s * hq, d), k_pages, v_pages,
                               k_scale, v_scale, block_table, lens, qstart,
                               scale, s, block_pos=block_pos, window=window,
-                              sink=sink, interpret=interpret)
+                              sink=sink, softcap=softcap,
+                              interpret=interpret)
     return out.reshape(b, s, hq, d)
 
 
 def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
                         block_table, lens, qstart, scale: float, s: int,
                         block_pos=None, window: int = 0, sink: int = 0,
-                        interpret=None):
+                        softcap: float = 0.0, interpret=None):
     interpret = resolve_interpret(interpret)
     b, rows, d = q.shape
     nb, hkv, bs, _ = k_pages.shape
@@ -245,7 +253,8 @@ def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
 
     kernel = functools.partial(_decode_kernel, bs=bs, hkv=hkv, g=g,
                                scale=scale, quantized=quantized,
-                               window=window, sink=sink, s=s)
+                               window=window, sink=sink, s=s,
+                               softcap=softcap)
 
     out = pl.pallas_call(
         kernel,
@@ -268,7 +277,8 @@ def _prefill_kernel(table_ref, bpos_ref, qstart_ref, lens_ref,   # prefetch
                     q_ref, k_ref, v_ref, ks_ref, vs_ref,
                     out_ref,
                     acc_ref, m_ref, l_ref,
-                    *, bs, hkv, g, c, scale, quantized, window, sink):
+                    *, bs, hkv, g, c, scale, quantized, window, sink,
+                    softcap=0.0):
     b = pl.program_id(0)
     j = pl.program_id(2)          # page scan is innermost
     n_blocks = pl.num_programs(2)
@@ -308,6 +318,8 @@ def _prefill_kernel(table_ref, bpos_ref, qstart_ref, lens_ref,   # prefetch
                 preferred_element_type=jnp.float32)          # (G*C, BS)
             if quantized:
                 logits = logits * ks_ref[0, h][None, :].astype(jnp.float32)
+            if softcap:
+                logits = jnp.tanh(logits / softcap) * softcap
             logits = jnp.where(keep, logits, NEG_INF)
 
             m_prev = jnp.max(m_all[h * rows:(h + 1) * rows], axis=1,
@@ -343,11 +355,11 @@ def _prefill_kernel(table_ref, bpos_ref, qstart_ref, lens_ref,   # prefetch
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
-                                             "interpret"))
+                                             "softcap", "interpret"))
 def paged_prefill_attention(q, k_pages, v_pages, k_scale, v_scale,
                             block_table, q_start, lens, scale: float,
                             block_pos=None, window: int = 0, sink: int = 0,
-                            interpret=None):
+                            softcap: float = 0.0, interpret=None):
     """Chunked-prefill attention over the paged pool.
 
     q (B, C, Hq, D) — C % 128 == 0 query tokens at absolute positions
@@ -413,7 +425,7 @@ def paged_prefill_attention(q, k_pages, v_pages, k_scale, v_scale,
 
     kernel = functools.partial(_prefill_kernel, bs=bs, hkv=hkv, g=g, c=tile,
                                scale=scale, quantized=quantized,
-                               window=window, sink=sink)
+                               window=window, sink=sink, softcap=softcap)
 
     out = pl.pallas_call(
         kernel,

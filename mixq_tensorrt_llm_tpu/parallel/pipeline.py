@@ -51,7 +51,8 @@ def _score_layer(cfg: ModelConfig, layer_params: Dict, x, sin, cos):
     q = mcommon.apply_rope(q, sin, cos)
     k = mcommon.apply_rope(k, sin, cos)
     mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
-    attn = ops_ref.attention(q, k, v, mask=mask, scale=cfg.head_dim ** -0.5)
+    attn = ops_ref.attention(q, k, v, mask=mask, scale=cfg.attention_scale,
+                             softcap=cfg.attn_logit_softcap)
     attn = attn.reshape(b, s, cfg.q_size)
     attn = dispatch.linear(layer_params["o_proj"], attn,
                            cfg.module_algo("o_proj"))

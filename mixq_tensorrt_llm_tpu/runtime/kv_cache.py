@@ -386,10 +386,8 @@ def paged_write(layer_caches, block_table: jax.Array,
     int8_pool = layer_caches["k"].dtype in (jnp.int8, jnp.bfloat16) or \
         not quantized   # the write kernels quantize to int8 only
     if new_k.shape[1] == 1:
-        from ..ops._util import _on_tpu
-        import os
-        if use_kernels and int8_pool and _on_tpu() \
-                and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0":
+        from ..ops._util import kernel_enabled
+        if use_kernels and int8_pool and kernel_enabled("MIXQ_WRITE_KERNEL"):
             # decode: aliased Pallas RMW of the one target page per seq.
             # A dynamic_update_slice next to the Pallas attention read of
             # the same scan-carried pool makes XLA copy-protect the WHOLE
@@ -402,10 +400,8 @@ def paged_write(layer_caches, block_table: jax.Array,
         # XLA scatter ~1.6x on TPU when they were the default)
         return _paged_write_decode(layer_caches, blk[:, 0], off[:, 0],
                                    new_k[:, 0], new_v[:, 0], quantized)
-    from ..ops._util import _on_tpu
-    import os
-    if (use_kernels and int8_pool and _on_tpu()
-            and os.environ.get("MIXQ_WRITE_KERNEL", "1") != "0"
+    from ..ops._util import kernel_enabled
+    if (use_kernels and int8_pool and kernel_enabled("MIXQ_WRITE_KERNEL")
             and new_k.shape[1] % bs == 0):
         # chunked prefill: aliased Pallas RMW of the pages each BS-token
         # slab lands in. The XLA scatter below, sitting next to the Pallas
