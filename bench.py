@@ -277,6 +277,52 @@ def main():
         except Exception as e:   # decode extras must not sink the headline
             log(f"[bench] decode measurement failed: {e!r}")
 
+    # end-to-end SERVING row: the full continuous-batching executor
+    # (chunked prefill + adaptive burst decode + scheduler + sampler +
+    # block manager + host sync) — the number a deployment actually gets.
+    # Round 2 measured serving at ~50% of raw decode (432 vs 856 tok/s);
+    # round 3's adaptive burst ladder closes it to ~90% in the
+    # decode-dominant regime (serving_bench gen=512 row, docs/PERF.md).
+    if os.environ.get("MIXQ_BENCH_SKIP_SERVING") != "1" and not tiny:
+        try:
+            import gc
+            import numpy as np
+            from mixq_tensorrt_llm_tpu.models import (ModelConfig,
+                                                      llama as mllama)
+            from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+            gc.collect()
+            jax.clear_caches()
+            n_req, plen, glen, burst = 16, 512, 256, 64
+            scfg = ModelConfig(**cfg_kw, quant=mix)
+            log(f"[bench] serving: {n_req} req, prompt {plen}, gen {glen}, "
+                f"burst {burst}")
+            t0 = time.time()
+            sparams = mllama.init_random_params(scfg, jax.random.PRNGKey(0))
+            ex = Executor(sparams, scfg, max_batch=16,
+                          max_seq_len=plen + glen + burst + 8,
+                          block_size=128, prefill_chunk=256,
+                          prefill_lanes=4, seed=0)
+            rng = np.random.default_rng(0)
+            ex.submit(rng.integers(1, scfg.vocab_size, plen).tolist(),
+                      max_new_tokens=glen)
+            ex.run(burst=burst)      # warm: compiles the full pow2 ladder
+            ex.finished.clear()
+            log(f"  staged+warm in {time.time()-t0:.0f}s")
+            rids = [ex.submit(rng.integers(1, scfg.vocab_size,
+                                           plen).tolist(),
+                              max_new_tokens=glen) for _ in range(n_req)]
+            t0 = time.perf_counter()
+            done = ex.run(burst=burst)
+            wall = time.perf_counter() - t0
+            gen_total = sum(len(done[r].generated) for r in rids)
+            extra["serving_gen_tok_s"] = round(gen_total / wall, 1)
+            extra["serving_requests"] = n_req
+            extra["serving_gen_per_req"] = glen
+            log(f"[bench] serving: {gen_total/wall:,.0f} gen tok/s "
+                f"(wall {wall:.1f}s)")
+        except Exception as e:   # serving row must not sink the headline
+            log(f"[bench] serving measurement failed: {e!r}")
+
     print(json.dumps({
         "metric": name,
         "value": round(tok_s, 1),

@@ -69,13 +69,21 @@ def _mask_positions(pos_kv, pos_q, window: int, sink: int):
 
 def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
                    q_ref, k_ref, v_ref, ks_ref, vs_ref,    # inputs
-                   out_ref,                                # output
-                   acc_ref, m_ref, l_ref,
-                   *, bs, hkv, g, scale, quantized, window, sink, s=1,
-                   softcap=0.0):
+                   *refs,                                  # outputs + scratch
+                   bs, hkv, g, scale, quantized, window, sink, s=1,
+                   softcap=0.0, stats=False):
     """s == 1 is the decode hot path; s > 1 (small verify chunks —
     speculative decoding's gamma+1 rows) flattens queries onto the row
     axis as (S, Hq) with per-row causal positions qstart + row//Hq."""
+    if stats:
+        # stats mode also emits the online-softmax running (m, l) so a
+        # caller can MERGE this result with attention over extra KV the
+        # pool does not hold (beam-burst dense tails, runtime/beam.py) or
+        # across page splits (flash-decoding combine)
+        out_ref, m_out_ref, l_out_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        out_ref, acc_ref, m_ref, l_ref = refs
+        m_out_ref = l_out_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
@@ -141,17 +149,24 @@ def _decode_kernel(table_ref, bpos_ref, lens_ref, qstart_ref,   # prefetch
 
     @pl.when(j == n_blocks - 1)
     def _():
+        # stats mode keeps the normalized output in f32 (out_shape is f32
+        # there): the caller merges parts in f32 and casts once
         out_ref[0] = (acc_ref[:] /
                       jnp.maximum(_lane_stat(l_ref), 1e-20)
                       ).astype(out_ref.dtype)
+        if stats:
+            m_out_ref[0] = m_ref[:]
+            l_out_ref[0] = l_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
-                                             "softcap", "interpret"))
+                                             "softcap", "stats",
+                                             "interpret"))
 def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
                            block_table, lens, scale: float,
                            block_pos=None, window: int = 0, sink: int = 0,
-                           softcap: float = 0.0, interpret=None):
+                           softcap: float = 0.0, stats: bool = False,
+                           interpret=None):
     """q (B, Hq, D); k/v pages (NB, Hkv, BS, D) [+ scales (NB, Hkv, BS) when
     int8]; block_table/block_pos (B, MB) int32 page ids / base positions;
     lens (B,) kv lengths -> (B, Hq, D).
@@ -159,11 +174,16 @@ def paged_decode_attention(q, k_pages, v_pages, k_scale, v_scale,
     On TPU (compiled) the block size must be a multiple of 128 so scale
     pages slice cleanly on lanes; interpret mode has no such constraint.
     block_pos defaults to j*BS (non-windowed layouts).
+
+    stats=True additionally returns the per-head online-softmax running
+    max and denominator as (out, m (B, Hq), l (B, Hq)) so callers can
+    exactly merge with attention over KV outside the pool (see
+    ops.ref.merge_attention_stats).
     """
     return _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
                                block_table, lens, lens - 1, scale, 1,
                                block_pos=block_pos, window=window,
-                               sink=sink, softcap=softcap,
+                               sink=sink, softcap=softcap, stats=stats,
                                interpret=interpret)
 
 
@@ -192,7 +212,8 @@ def paged_verify_attention(q, k_pages, v_pages, k_scale, v_scale,
 def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
                         block_table, lens, qstart, scale: float, s: int,
                         block_pos=None, window: int = 0, sink: int = 0,
-                        softcap: float = 0.0, interpret=None):
+                        softcap: float = 0.0, stats: bool = False,
+                        interpret=None):
     interpret = resolve_interpret(interpret)
     b, rows, d = q.shape
     nb, hkv, bs, _ = k_pages.shape
@@ -222,6 +243,13 @@ def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
     ks2 = k_scale.reshape(nb, 1, hkv * bs)
     vs2 = v_scale.reshape(nb, 1, hkv * bs)
 
+    out_spec = pl.BlockSpec((1, rows, d),
+                            lambda i, j, table, bpos, lens, qs: (i, 0, 0))
+    stat_spec = pl.BlockSpec((1, rows, 128),
+                             lambda i, j, table, bpos, lens, qs: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, rows, d),
+                                     jnp.float32 if stats else jnp.bfloat16)
+    stat_shape = jax.ShapeDtypeStruct((b, rows, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, mb),
@@ -241,9 +269,7 @@ def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
                          lambda i, j, table, bpos, lens, qs:
                          (table[i, j], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, rows, d),
-                               lambda i, j, table, bpos, lens, qs:
-                               (i, 0, 0)),
+        out_specs=[out_spec, stat_spec, stat_spec] if stats else out_spec,
         scratch_shapes=[
             pltpu.VMEM((rows, d), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),  # m (running max, lanes-bcast)
@@ -254,18 +280,23 @@ def _paged_mq_attention(q, k_pages, v_pages, k_scale, v_scale,
     kernel = functools.partial(_decode_kernel, bs=bs, hkv=hkv, g=g,
                                scale=scale, quantized=quantized,
                                window=window, sink=sink, s=s,
-                               softcap=softcap)
+                               softcap=softcap, stats=stats)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, rows, d), jnp.bfloat16),
+        out_shape=([out_shape, stat_shape, stat_shape] if stats
+                   else out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(block_table, block_pos, lens, qstart.astype(jnp.int32),
       q, k2, v2, ks2, vs2)
+    if stats:
+        o, m, l = out
+        # the (rows, 128) stat tiles are lanes-broadcast; column 0 is the value
+        return o, m[:, :, 0], l[:, :, 0]
     return out
 
 
@@ -444,3 +475,60 @@ def paged_prefill_attention(q, k_pages, v_pages, k_scale, v_scale,
            .reshape(b, hq, c, d)
            .transpose(0, 2, 1, 3))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "window", "sink",
+                                             "softcap", "kv_splits",
+                                             "interpret"))
+def paged_decode_attention_split(q, k_pages, v_pages, k_scale, v_scale,
+                                 block_table, lens, scale: float,
+                                 block_pos=None, window: int = 0,
+                                 sink: int = 0, softcap: float = 0.0,
+                                 kv_splits: int = 2, interpret=None):
+    """Flash-decoding-style decode attention: each lane's page list is
+    SPLIT across kv_splits grid rows that scan their slice independently
+    (reference --multi_block_mode, /root/reference/utils.py common args —
+    long-KV work split across blocks and combined). The split rows ride
+    the kernel's PARALLEL grid axis, so a single long-context lane can
+    occupy multiple cores where the serial page scan could not; partials
+    are combined exactly with the online-softmax merge
+    (ops.ref.merge_attention_stats).
+
+    Same contract as paged_decode_attention; block_table width must be
+    padded to a multiple of kv_splits (host tables already pad with the
+    last real block + PAD_POS base, which skips with no DMA).
+    """
+    from .ref import merge_attention_stats
+    b, hq, d = q.shape
+    mb = block_table.shape[1]
+    s = kv_splits
+    if mb % s:
+        pad = s - mb % s
+        block_table = jnp.concatenate(
+            [block_table, jnp.repeat(block_table[:, -1:], pad, 1)], axis=1)
+        if block_pos is None:
+            bs_blk = k_pages.shape[2]
+            block_pos = jnp.broadcast_to(
+                jnp.arange(mb, dtype=jnp.int32)[None, :] * bs_blk, (b, mb))
+        block_pos = jnp.concatenate(
+            [block_pos, jnp.full((b, pad), jnp.int32(1 << 30))], axis=1)
+        mb += pad
+    elif block_pos is None:
+        bs_blk = k_pages.shape[2]
+        block_pos = jnp.broadcast_to(
+            jnp.arange(mb, dtype=jnp.int32)[None, :] * bs_blk, (b, mb))
+
+    table2 = block_table.reshape(b * s, mb // s)
+    bpos2 = block_pos.reshape(b * s, mb // s)
+    q2 = jnp.repeat(q, s, axis=0)
+    lens2 = jnp.repeat(lens, s, axis=0)
+    out, m, l = _paged_mq_attention(
+        q2, k_pages, v_pages, k_scale, v_scale, table2, lens2, lens2 - 1,
+        scale, 1, block_pos=bpos2, window=window, sink=sink,
+        softcap=softcap, stats=True, interpret=interpret)
+    out = out.reshape(b, s, hq, d)
+    m = m.reshape(b, s, hq)
+    l = l.reshape(b, s, hq)
+    parts = [(out[:, i][:, None], m[:, i][:, :, None], l[:, i][:, :, None])
+             for i in range(s)]
+    return merge_attention_stats(parts)[:, 0].astype(jnp.bfloat16)

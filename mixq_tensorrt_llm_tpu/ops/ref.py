@@ -260,3 +260,67 @@ def attention_int8kv(
     probs = probs * v_s.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_q.astype(jnp.float32))
     return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+def attention_stats(
+    q: jax.Array,            # (b, sq, hq, d)
+    k: jax.Array,            # (b, skv, hkv, d) float OR int8
+    v: jax.Array,            # (b, skv, hkv, d)
+    k_s: Optional[jax.Array] = None,   # (b, skv, hkv) f32 when k/v are int8
+    v_s: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,  # broadcastable to (b, hq, sq, skv)
+    scale: Optional[float] = None,
+    softcap: float = 0.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """attention()/attention_int8kv() that ALSO returns the softmax running
+    stats: (out (b, sq, hq, d), m (b, hq, sq), l (b, hq, sq)) with
+    out = exp(logits - m) @ v / l. Lets callers merge exactly with
+    attention over KV held elsewhere (merge_attention_stats) — the jnp
+    ground truth for the paged decode kernel's stats mode (beam-burst
+    dense tails, flash-decoding page splits)."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    scale = scale if scale is not None else d ** -0.5
+    q5 = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, g, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k.astype(jnp.float32))
+    if k_s is not None:
+        logits = logits * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+    if softcap:
+        logits = jnp.tanh(logits / softcap) * softcap
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, (b, hq, sq, k.shape[1]))
+        logits = jnp.where(mask.reshape(b, hkv, g, sq, -1), logits, -1e30)
+    m = jnp.max(logits, axis=-1)                       # (b, hkv, g, sq)
+    p = jnp.exp(logits - jnp.maximum(m[..., None], -0.5e30))
+    l = jnp.sum(p, axis=-1)
+    if v_s is not None:
+        p = p * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v.astype(jnp.float32))
+    out = out / jnp.maximum(l, 1e-20).transpose(0, 3, 1, 2)[..., None]
+    # out stays FLOAT32: parts are merged in f32 and cast once at the end —
+    # rounding each part to bf16 first costs ~1e-2 relative vs the
+    # single-softmax reference (measured: flipped beam choices)
+    return (out.reshape(b, sq, hq, d),
+            m.reshape(b, hq, sq), l.reshape(b, hq, sq))
+
+
+def merge_attention_stats(parts) -> jax.Array:
+    """Exactly combine attention results computed over DISJOINT KV sets.
+
+    parts: sequence of (out (b, sq, hq, d) NORMALIZED, m (b, hq, sq),
+    l (b, hq, sq)). Standard online-softmax merge: with acc_i = out_i*l_i,
+    out = sum_i acc_i * e^(m_i - M) / sum_i l_i * e^(m_i - M). Fully-empty
+    parts (m = -inf, l = 0) contribute nothing."""
+    ms = jnp.stack([m for _, m, _ in parts])           # (P, b, hq, sq)
+    big = jnp.max(ms, axis=0)
+    big = jnp.maximum(big, -0.5e30)                    # all-empty rows
+    denom = jnp.zeros_like(big)
+    num = None
+    for out, m, l in parts:
+        w = (l * jnp.exp(m - big)).astype(jnp.float32)    # (b, hq, sq)
+        denom = denom + w
+        t = out.astype(jnp.float32) * w.transpose(0, 2, 1)[..., None]
+        num = t if num is None else num + t
+    denom = jnp.maximum(denom, 1e-20).transpose(0, 2, 1)[..., None]
+    return num / denom   # f32; callers cast once

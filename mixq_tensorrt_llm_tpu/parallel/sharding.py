@@ -92,14 +92,26 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
         is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"))
 
 
-def shard_paged_state(state, mesh: Mesh):
+def shard_paged_state(state, mesh: Mesh, num_layers: int = 0):
     """Shard a runtime.kv_cache.PagedKVState over the mesh: the flat page
     pools (L*NB, Hkv, BS, D) put their KV-HEAD axis on 'tp' — attention is
     head-local, so decode/prefill math partitions with the qkv/o
-    projections and GSPMD only inserts the o_proj/down_proj psums."""
-    kv = NamedSharding(mesh, _strip_absent_axes(P(None, "tp", None, None),
+    projections and GSPMD only inserts the o_proj/down_proj psums.
+
+    With a 'pp' axis (and num_layers given, pp | L), the PAGE axis shards
+    on 'pp': the pool is layer-major (layer l's block b at row l*NB + b),
+    so contiguous pp chunks are exactly the pipeline stages' own layers'
+    pages — each stage holds 1/pp of the KV, the reason pp serving exists."""
+    tp = int(mesh.shape.get("tp", 1)) if "tp" in mesh.axis_names else 1
+    pp = int(mesh.shape.get("pp", 1)) if "pp" in mesh.axis_names else 1
+    # replicate the head axis when tp does not divide it (the executor
+    # then serves on the jnp GSPMD plane; the kernel plane requires the
+    # even split)
+    head = "tp" if tp and state.k.shape[1] % max(tp, 1) == 0 else None
+    page = "pp" if pp > 1 and num_layers and num_layers % pp == 0 else None
+    kv = NamedSharding(mesh, _strip_absent_axes(P(page, head, None, None),
                                                 mesh))
-    sc = NamedSharding(mesh, _strip_absent_axes(P(None, "tp", None), mesh))
+    sc = NamedSharding(mesh, _strip_absent_axes(P(page, head, None), mesh))
     return type(state)(
         k=jax.device_put(state.k, kv), v=jax.device_put(state.v, kv),
         k_scale=jax.device_put(state.k_scale, sc)

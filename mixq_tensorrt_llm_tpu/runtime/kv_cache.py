@@ -349,7 +349,7 @@ def paged_write(layer_caches, block_table: jax.Array,
                 write_pos: jax.Array, new_k: jax.Array, new_v: jax.Array,
                 quantized: bool, valid: Optional[jax.Array] = None,
                 block_pos: Optional[jax.Array] = None,
-                use_kernels: bool = True):
+                use_kernels: bool = True, mesh=None):
     """Scatter new kv at absolute positions into the pool (one layer view).
 
     layer_caches: dict of flat pools {k (L*NB,H,BS,D), ...}
@@ -393,6 +393,11 @@ def paged_write(layer_caches, block_table: jax.Array,
             # the same scan-carried pool makes XLA copy-protect the WHOLE
             # pool every layer (alias analysis can't see through the custom
             # call): 1623 us/layer vs 360 with this kernel (probe_flatpool)
+            if mesh is not None:
+                from ..parallel import kernel_shard as kshard
+                return kshard.write_token(mesh, layer_caches, blk[:, 0],
+                                          off[:, 0], new_k[:, 0],
+                                          new_v[:, 0])
             from ..ops.paged_write import paged_write_token
             return paged_write_token(layer_caches, blk[:, 0], off[:, 0],
                                      new_k[:, 0], new_v[:, 0])
@@ -409,6 +414,10 @@ def paged_write(layer_caches, block_table: jax.Array,
         # copy-protect the whole pool every layer — 748 ms per 4-lane
         # 256-token chunk at 7B (tools/probe_serving.py). Requires the
         # executor's page-aligned contiguous chunks (see paged_write_chunk).
+        if mesh is not None:
+            from ..parallel import kernel_shard as kshard
+            return kshard.write_chunk(mesh, layer_caches, blk, off,
+                                      new_k, new_v)
         from ..ops.paged_write import paged_write_chunk
         return paged_write_chunk(layer_caches, blk, off, new_k, new_v)
     # kv pages are (NB, Hkv, BS, D) and scale pages (NB, Hkv, BS): the
@@ -468,10 +477,15 @@ def _paged_write_decode(layer_caches, blk, off, new_k, new_v, quantized):
     }
 
 
+GATHER_TRACES = [0]   # trace-time counter: tests assert the kernel data
+#                       plane never routes through the materializing gather
+
+
 def paged_gather(layer_caches, block_table: jax.Array, dtype):
     """Materialize (B, max_blocks*BS, H, D) kv views for attention (jnp
     reference path; the Pallas paged-attention kernel reads blocks in
     place instead)."""
+    GATHER_TRACES[0] += 1
     k = layer_caches["k"][block_table]   # (B, MB, H, BS, D)
     v = layer_caches["v"][block_table]
     b, mb, h, bs, d = k.shape

@@ -1,5 +1,10 @@
-"""Decode-regime routing: S==1 steps run the weight-only path on the full
-qweight, exactly like the reference's SMALL_M_FAST_PATH GEMV."""
+"""Decode-regime routing: S <= 4 steps run the weight-only path on the
+full qweight, exactly like the reference's SMALL_M_FAST_PATH == 4 GEMV
+(weightonlykernel/fpA_intB_gemm_wrapper.h:3; plugin prefill/decode split
+TsinghuaMixQPlugin.cpp:472,624). The exact threshold also keeps a
+gamma <= 3 speculative verify numerically identical to the draft's decode
+steps (round-3 on-chip finding: an S==1-only rule made the verify run mix
+math against a weight-only draft, collapsing acceptance to chance)."""
 
 import dataclasses
 
@@ -50,8 +55,9 @@ def test_decode_step_equals_w8a16_model():
 
 
 def test_prefill_still_uses_mixed_path():
-    """S>1 must keep the outlier side-GEMM: zeroing fp_weight changes
-    prefill logits but must NOT change a decode step."""
+    """S>4 must keep the outlier side-GEMM: zeroing fp_weight changes
+    prefill logits but must NOT change a decode step (S<=4 routes
+    weight-only, the reference SMALL_M_FAST_PATH boundary)."""
     cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
                       num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
                       max_position_embeddings=64,
@@ -64,19 +70,28 @@ def test_prefill_still_uses_mixed_path():
         t["fp_weight"] = jnp.zeros_like(t["fp_weight"])
         params_z["layers"][mod] = t
 
-    tokens = jnp.array([[5, 6, 7, 8]], jnp.int32)
-    pos = jnp.arange(4)[None]
-    lens = jnp.array([4], jnp.int32)
-    la, ca = forward(params, cfg, tokens, pos, init_kv_cache(cfg, 1, 8), lens)
-    lb, cb = forward(params_z, cfg, tokens, pos, init_kv_cache(cfg, 1, 8),
+    tokens = jnp.array([[5, 6, 7, 8, 9]], jnp.int32)   # S=5 > fast path
+    pos = jnp.arange(5)[None]
+    lens = jnp.array([5], jnp.int32)
+    la, ca = forward(params, cfg, tokens, pos, init_kv_cache(cfg, 1, 16),
+                     lens)
+    lb, cb = forward(params_z, cfg, tokens, pos, init_kv_cache(cfg, 1, 16),
                      lens)
     assert not np.array_equal(np.asarray(la), np.asarray(lb))
 
+    # S = 4 == SMALL_M_FAST_PATH: weight-only, outliers must NOT matter
+    t4 = jnp.array([[5, 6, 7, 8]], jnp.int32)
+    p4 = jnp.arange(4)[None]
+    l4 = jnp.array([4], jnp.int32)
+    f4a, _ = forward(params, cfg, t4, p4, init_kv_cache(cfg, 1, 16), l4)
+    f4b, _ = forward(params_z, cfg, t4, p4, init_kv_cache(cfg, 1, 16), l4)
+    np.testing.assert_array_equal(np.asarray(f4a), np.asarray(f4b))
+
     step = jnp.array([[9]], jnp.int32)
-    spos = jnp.array([[4]], jnp.int32)
-    da, _ = forward(params, cfg, step, spos, ca, jnp.array([5], jnp.int32))
-    db, _ = forward(params_z, cfg, step, spos, cb, jnp.array([5], jnp.int32))
+    spos = jnp.array([[5]], jnp.int32)
+    da, _ = forward(params, cfg, step, spos, ca, jnp.array([6], jnp.int32))
     # caches differ (prefill differed) so compare only the routing effect:
     # rerun decode from the SAME cache
-    db2, _ = forward(params_z, cfg, step, spos, ca, jnp.array([5], jnp.int32))
+    db2, _ = forward(params_z, cfg, step, spos, ca,
+                     jnp.array([6], jnp.int32))
     np.testing.assert_array_equal(np.asarray(da), np.asarray(db2))

@@ -196,3 +196,53 @@ def test_spec_near_context_cap_finishes(setup):
     a = ex.submit([3, 1, 4], max_new_tokens=21)
     done = ex.run_speculative(draft_params, draft_cfg, gamma=4)
     assert done[a].generated == want
+
+
+def test_paged_draft_matches_dense_draft(setup):
+    """paged_draft=True (default; own paged pool, shared block tables)
+    produces the same outputs as the round-2 dense-cache draft path and
+    as plain run()."""
+    params, cfg, draft_params, draft_cfg = setup
+    kw = dict(max_batch=2, max_seq_len=64, block_size=8, prefill_chunk=8)
+    prompts = [[3, 1, 4, 1, 5], [2, 7]]
+
+    def go(paged):
+        ex = Executor(params, cfg, seed=0, **kw)
+        ids = [ex.submit(p, max_new_tokens=9) for p in prompts]
+        done = ex.run_speculative(draft_params, draft_cfg, gamma=3,
+                                  paged_draft=paged)
+        return [done[r].generated for r in ids]
+
+    plain = Executor(params, cfg, seed=0, **kw)
+    idsp = [plain.submit(p, max_new_tokens=9) for p in prompts]
+    want = [plain.run()[r].generated for r in idsp]
+    assert go(True) == want
+    assert go(False) == want
+
+
+def test_paged_int8_draft_self_acceptance(setup):
+    """The r2 acceptance collapse came from the dense bf16 draft cache vs
+    the int8 paged target (PERF.md spec row). With the paged int8 draft,
+    a self-draft sees EXACTLY the target's cache numerics, so acceptance
+    is total and rounds collapse to ~n/(gamma+1) — the ceiling the
+    machinery is supposed to reach."""
+    from mixq_tensorrt_llm_tpu.quant.config import (QuantConfig, QuantAlgo,
+                                                    KVCacheQuantAlgo)
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=128,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=8,
+                                        kv_cache=KVCacheQuantAlgo.INT8))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(max_batch=1, max_seq_len=64, block_size=8, prefill_chunk=8)
+    n = 12
+    ex = Executor(params, cfg, seed=0, **kw)
+    rid = ex.submit([3, 1, 4], max_new_tokens=n)
+    done = ex.run_speculative(params, cfg, gamma=3, paged_draft=True)
+    assert len(done[rid].generated) == n
+    assert ex.spec_rounds <= -(-n // 4) + 1
+
+    plain = Executor(params, cfg, seed=0, **kw)
+    rid2 = plain.submit([3, 1, 4], max_new_tokens=n)
+    assert plain.run()[rid2].generated == done[rid].generated

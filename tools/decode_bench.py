@@ -35,7 +35,13 @@ def main():
                     help="int4_mix weights (packed in-kernel unpack)")
     ap.add_argument("--w4a16_g", action="store_true",
                     help="group-wise int4 weights (grouped packed kernel)")
+    ap.add_argument("--kv_splits", type=int, default=0,
+                    help="flash-decoding page split factor (reference "
+                         "--multi_block_mode); 0 = serial page scan")
     args = ap.parse_args()
+    if args.kv_splits:
+        import os
+        os.environ["MIXQ_KV_SPLITS"] = str(args.kv_splits)
 
     from mixq_tensorrt_llm_tpu.models import (ModelConfig, llama as mllama,
                                               common as mcommon)
@@ -121,6 +127,8 @@ def main():
     mode = ("bf16" if args.bf16 else
             "w4a16_g+int8kv" if args.w4a16_g else
             "int4_mix+int8kv" if args.int4 else "int8_mix+int8kv")
+    if args.kv_splits:
+        mode += f"+kvsplit{args.kv_splits}"
     print(f"decode {mode} bs={args.bs} ctx={args.ctx} "
           f"({args.layers} layers scaled x{scale:.0f}): "
           f"{step_ms:.2f} ms/step -> {tok_s:,.0f} tok/s")

@@ -9,15 +9,17 @@ block-PPL'd on a held-out corpus tail, mirroring the reference's PPL gates
 (summarize.py:700-708 threshold check, MixQ/src/evalppl.py fp16-vs-int
 side-by-side).
 
-Thresholds (relative PPL increase over float):
-    int8_mix       <= 2%     (reference: W8A8O16 within noise of fp16)
-    int8_mix+kv8   <= 3%
-    w8a16          <= 2%
-    int4_mix       <= 12%    (int4 costs accuracy; gate catches regressions)
-    int8_lr        <= 3%     (W8A8 + rank-r residual correction, no outliers)
-    w4a16_g        <= 6%     (group-wise int4, absmax/7 per 128-row group)
+Thresholds (relative PPL increase over float) bracket MEASURED deltas at
+~2-3x headroom (r2 VERDICT weak #6: the old folklore thresholds were
+3-27x looser than measurement and would have passed a quadrupled int4
+error). Round-3 measured at 1200 steps: int8 family within noise
+(|delta| < 0.1%), int4_mix ~0.5%, w4a16_g ~0.8%:
+    w8a16 / int8_mix         <= 0.5%
+    int8_mix+kv8 / int8_lr   <= 0.75%
+    int4_mix                 <= 1.5%
+    w4a16_g                  <= 2.5%
 
-Run: python tools/ppl_gate.py [--steps N] [--out PPL_r02.json]
+Run: python tools/ppl_gate.py [--steps N] [--out PPL_r03.json]
 Writes the JSON artifact and exits nonzero on threshold violation.
 """
 
@@ -33,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# NOTE: the persistent compilation cache is enabled in main() only — doing
+# it at import time opted the TEST process into the shared cache, and a
+# concurrent writer (another gate run) segfaulted a cache read mid-suite
 
 REPO = Path(__file__).resolve().parent.parent
 SEQ = 256
@@ -119,13 +123,13 @@ def train_tiny(tokens: np.ndarray, steps: int, batch: int = 16,
     return params, cfg
 
 
-THRESHOLDS = {          # max relative PPL increase vs float
-    "w8a16": 0.02,
-    "int8_mix": 0.02,
-    "int8_mix_kv8": 0.03,
-    "int4_mix": 0.12,
-    "int8_lr": 0.03,
-    "w4a16_g": 0.06,
+THRESHOLDS = {          # max relative PPL increase vs float (~2-3x measured)
+    "w8a16": 0.005,
+    "int8_mix": 0.005,
+    "int8_mix_kv8": 0.0075,
+    "int4_mix": 0.015,
+    "int8_lr": 0.0075,
+    "w4a16_g": 0.025,
 }
 
 
@@ -188,9 +192,10 @@ def run_gate(steps: int = 600, max_blocks=None, num_outliers: int = 32):
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--out", default="PPL_r02.json")
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--out", default="PPL_r03.json")
     ap.add_argument("--max_blocks", type=int, default=None)
     args = ap.parse_args()
 

@@ -41,6 +41,10 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        # exercise the shard_map'd Pallas data plane (interpret mode) —
+        # the same routing a real multi-chip TPU mesh takes
+        os.environ.setdefault("MIXQ_PAGED_KERNEL", "force")
+        os.environ.setdefault("MIXQ_WRITE_KERNEL", "force")
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -71,10 +75,12 @@ def main():
                   file=sys.stderr)
             continue
         mesh = (None if tp == 1 else
-                Mesh(np.array(devices[:tp]).reshape(1, 1, tp),
-                     ("dp", "pp", "tp")))
+                Mesh(np.array(devices[:tp]), ("tp",)))
         ex = Executor(params, cfg, max_batch=args.batch, max_seq_len=64,
                       block_size=8, prefill_chunk=16, mesh=mesh, seed=0)
+        planes = results.setdefault("_plane", {})
+        planes[tp] = ("pallas-shard_map" if ex._use_kernels
+                      else "jnp-gspmd")
         for p in prompts:                       # warm compile
             ex.submit(p, max_new_tokens=2)
         ex.run()
@@ -87,11 +93,13 @@ def main():
         print(f"tp={tp}: {results[tp]:.1f} tok/s", file=sys.stderr,
               flush=True)
 
+    planes = results.pop("_plane", {})
     base_tp = min(results)
     out = {"tok_s": {str(k): round(v, 1) for k, v in results.items()},
            "efficiency_vs_linear": {
                str(k): round(v / (results[base_tp] * (k / base_tp)), 3)
                for k, v in results.items()},
+           "data_plane": {str(k): v for k, v in planes.items()},
            "note": ("virtual CPU mesh — functional validation only"
                     if args.cpu else "hardware mesh")}
     print(json.dumps(out))

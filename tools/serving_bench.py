@@ -38,6 +38,16 @@ def main():
                     help="self-draft run_speculative (acceptance upper "
                          "bound; reports tokens/round)")
     ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--draft_layers", type=int, default=0,
+                    help="speculative: build the draft from the target's "
+                         "first N layers (0 = full self-draft, the "
+                         "acceptance ceiling)")
+    ap.add_argument("--dense_draft", action="store_true",
+                    help="speculative: round-2 dense bf16 draft cache "
+                         "instead of the paged int8 one")
+    ap.add_argument("--max_kv_tokens", type=int, default=0,
+                    help="KV pool budget in tokens (0 = worst case); "
+                         "oversubscription preempts under pressure")
     ap.add_argument("--beams", type=int, default=0,
                     help="run_beams beam width (0 = greedy serving)")
     args = ap.parse_args()
@@ -59,17 +69,45 @@ def main():
           flush=True)
 
     max_seq = args.prompt + args.gen + max(args.burst, args.gamma + 1) + 8
+    # beam mode never touches the executor's own pool (run_beams drives
+    # paged_beam_search, which builds its own exactly-sized pool), so
+    # shrink it to the minimum and leave HBM to the beam pool
+    kv_budget = (128 if args.beams else args.max_kv_tokens)
     ex = Executor(params, cfg, max_batch=args.max_batch,
                   max_seq_len=max_seq, block_size=128, prefill_chunk=256,
                   prefill_lanes=4, seed=0,
-                  enable_block_reuse=args.block_reuse)
+                  enable_block_reuse=args.block_reuse,
+                  max_kv_tokens=kv_budget)
     rng = np.random.default_rng(0)
 
-    # warmup: compile/load all three programs (prefill chunk, decode step,
-    # burst) before the timed window — a production server serves warm
-    ex.submit(rng.integers(1, cfg.vocab_size, args.prompt).tolist(),
-              max_new_tokens=args.burst + 2)
-    ex.run(burst=args.burst)
+    # warmup: compile/load every program the timed workload will use —
+    # prefill chunk, decode step, and the FULL pow2 burst ladder (the
+    # adaptive tail compiles one program per rung; a production server
+    # serves warm, and the persistent XLA cache makes later cold starts
+    # cheap). Beam / speculative modes warm their own programs with a
+    # one-request dry run.
+    warm_prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
+    if args.beams:
+        ex.submit(warm_prompt, max_new_tokens=args.gen)
+        ex.run_beams(num_beams=args.beams)
+        ex.finished.clear()
+    elif args.speculative:
+        import dataclasses as _dc
+        if args.draft_layers:
+            wdcfg = _dc.replace(cfg, num_layers=args.draft_layers)
+            wdparams = dict(params)
+            wdparams["layers"] = jax.tree.map(
+                lambda a: a[:args.draft_layers], params["layers"])
+        else:
+            wdcfg, wdparams = cfg, params
+        ex.submit(warm_prompt, max_new_tokens=args.gen)
+        ex.run_speculative(wdparams, wdcfg, gamma=args.gamma,
+                           paged_draft=not args.dense_draft)
+        ex.finished.clear()
+    else:
+        ex.submit(warm_prompt, max_new_tokens=args.gen)
+        ex.run(burst=args.burst)
+        ex.finished.clear()
     print("warm", file=sys.stderr, flush=True)
 
     shared = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
@@ -84,7 +122,16 @@ def main():
     rids = [ex.submit(prompt_for(i), max_new_tokens=args.gen)
             for i in range(args.requests)]
     if args.speculative:
-        done = ex.run_speculative(params, cfg, gamma=args.gamma)
+        import dataclasses as _dc
+        if args.draft_layers:
+            dcfg = _dc.replace(cfg, num_layers=args.draft_layers)
+            dparams = dict(params)
+            dparams["layers"] = jax.tree.map(
+                lambda a: a[:args.draft_layers], params["layers"])
+        else:
+            dcfg, dparams = cfg, params
+        done = ex.run_speculative(dparams, dcfg, gamma=args.gamma,
+                                  paged_draft=not args.dense_draft)
     elif args.beams:
         done = ex.run_beams(num_beams=args.beams)
     else:
@@ -108,6 +155,7 @@ def main():
                                       2)} if args.speculative else {}),
         **({"prefix_cache_blocks": ex.bm.prefix_cache_size}
            if args.block_reuse else {}),
+        **({"preemptions": ex.preemptions} if args.max_kv_tokens else {}),
     }), flush=True)
 
 
