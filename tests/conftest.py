@@ -18,3 +18,20 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_accumulation():
+    """Drop compiled executables at module teardown.
+
+    The full suite compiles 600+ XLA CPU programs in one process; past
+    ~(test 390) the CPU backend segfaulted inside backend_compile_and_load
+    (reproducible at the same point across runs, never in any standalone
+    subset — cumulative JIT state, not a specific program). Cross-module
+    executable reuse is negligible (jit caches key on function identity
+    and tests define their own), so clearing per module bounds the
+    accumulation at ~zero recompile cost."""
+    yield
+    jax.clear_caches()
