@@ -202,11 +202,14 @@ def paged_beam_search(params, cfg: ModelConfig,
 
     # pool sizing: prompts cost their pages once (beams share them);
     # each lane's divergent tail spans the pages from its prompt's last
-    # (possibly COW-duplicated, +1) to the final token — exact, not the
-    # old +2-pages-per-lane margin that pushed 7B/128-page beam pools
-    # past HBM alongside the weights
+    # to the final token, plus one COW duplicate of a shared PARTIAL
+    # prompt page — only possible when some prompt is not page-aligned.
+    # Exact, not the old +2-pages-per-lane margin: at 7B/128-token pages
+    # each spare page costs 34 MB across the layer stack, and the margin
+    # alone (2.1 GB at 16x4 lanes) pushed the pool past HBM.
+    cow_margin = 0 if all(ln % block_size == 0 for ln in lens_list) else 1
     per_lane = (-(-(max_prompt + max_new_tokens + 1) // block_size)
-                - max_prompt // block_size + 1)
+                - max_prompt // block_size + cow_margin)
     bm = pkv.BlockManager(
         num_blocks=1 + b * (-(-max_prompt // block_size))
         + b * k * per_lane,
@@ -447,15 +450,30 @@ def _forward_with_tail(params, cfg: ModelConfig, cur, pools, table, bpos,
     return logits.astype(jnp.float32), new_tails
 
 
+_BURST_FNS: dict = {}   # (cfg, b, k, k_eff, eos, use_kernels) -> jitted fn
+_COW_FN = [None]        # memoized page-copy jit (shape-bucketed pairs)
+_FLUSH_FN = [None]
+
+
 def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                      eos: int, use_kernels: bool):
     """Jitted k_eff-step beam burst: per step — forward with tail, top-k
     over (K*V), IN-GRAPH beam reorder of block tables and tails (a lane
     gather, no page copies), score/finished updates. Returns the final
-    carry plus per-step (parent, token) for host backtracking."""
+    carry plus per-step (parent, token) for host backtracking.
+
+    MEMOIZED module-level (params/pools are call arguments): per-call jit
+    closures made every run_beams batch reload its executables from the
+    persistent cache — measured ~1 s per ladder rung per call on chip."""
+    key = (cfg, b, k, k_eff, eos, use_kernels)
+    hit = _BURST_FNS.get(key)
+    if hit is not None:
+        return hit
     n_lanes = b * k
 
-    @functools.partial(jax.jit, static_argnums=())
+    # donate the tails (they carry through and return); pools are
+    # read-only arguments and must persist across bursts
+    @functools.partial(jax.jit, donate_argnums=(8,))
     def burst(params, pools, table0, bpos, cur0, prefix_len, scores0, fin0,
               tails0):
         def step(carry, _):
@@ -487,6 +505,7 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
             jax.lax.scan(step, carry0, None, length=k_eff)
         return cur, tails, scores, fin, parents, tokens
 
+    _BURST_FNS[key] = burst
     return burst
 
 
@@ -524,14 +543,30 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
     softmax stats); host work and device round-trips drop from O(steps)
     to O(steps / burst).
     """
-    from ..ops._util import kernel_enabled
+    import os
+    import time as _time
+    trace = os.environ.get("MIXQ_BEAM_TRACE") == "1"
+
+    def _mark(label, t0, sync=None):
+        if not trace:
+            return 0.0
+        if sync is not None:
+            jax.block_until_ready(sync)
+        dt = _time.perf_counter() - t0
+        print(f"[beam-trace] {label}: {dt*1e3:.0f} ms", flush=True)
+        return dt
+
     use_k = mcommon._use_paged_kernel()
     n_lanes = b * k
     all_lanes = list(range(n_lanes))
     quantized = "k_scale" in pools
     eos = -1 if eos_token_id is None else int(eos_token_id)
-    burst_fns = {}
-    flush = jax.jit(_flush_tail, donate_argnums=(0,))
+    if _FLUSH_FN[0] is None:
+        _FLUSH_FN[0] = jax.jit(_flush_tail, donate_argnums=(0,))
+    if _COW_FN[0] is None:
+        _COW_FN[0] = jax.jit(_copy_pages, donate_argnums=(0,))
+    flush = _FLUSH_FN[0]
+    cow = _COW_FN[0]
     bs = bm.block_size
     cur = np.asarray(cur)
     steps_left = max_new_tokens - 1
@@ -539,19 +574,20 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
     while steps_left > 0 and not finished.all():
         k_eff = min(burst, steps_left)
         k_eff = 1 << (k_eff.bit_length() - 1)   # pow2: O(log) programs
-        if k_eff not in burst_fns:
-            burst_fns[k_eff] = _make_beam_burst(params, cfg, b, k, k_eff,
-                                                eos, use_k)
+        burst_fn = _make_beam_burst(params, cfg, b, k, k_eff, eos, use_k)
         table = jnp.asarray(bm.block_table(all_lanes, mb))
         bpos = jnp.asarray(bm.block_pos(all_lanes, mb))
         tails0 = _init_tail(cfg, n_lanes, k_eff, quantized)
-        cur_j, tails, new_scores, _, parents, tokens = burst_fns[k_eff](
+        t0 = _time.perf_counter()
+        cur_j, tails, new_scores, _, parents, tokens = burst_fn(
             params, pools, table, bpos, jnp.asarray(cur, jnp.int32),
             jnp.asarray(cur_lens, jnp.int32), beam_scores,
             jnp.asarray(finished), tails0)
         parents_np = np.asarray(parents)      # (k_eff, B, K)
         tokens_np = np.asarray(tokens)
+        _mark(f"burst k={k_eff} (device)", t0, sync=tokens)
         beam_scores = new_scores
+        t0 = _time.perf_counter()
 
         # fold the steps host-side, stopping exactly where the per-step
         # loop would (finished.all() checked BEFORE each step) so the
@@ -597,13 +633,23 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                     dup = bm.ensure_exclusive(lane, pos)
                     if dup is not None:
                         pairs.append(dup)
+        _mark("host fold+surgery+extend", t0)
+        t0 = _time.perf_counter()
         if pairs:
+            # pad the pair list to the next power of two: every distinct
+            # count is otherwise its own compiled program (~1 s executable
+            # load per new shape on chip); padding repeats the last pair —
+            # a harmless self-identical rewrite
+            n_pairs = 1 << (len(pairs) - 1).bit_length()
+            pairs = pairs + [pairs[-1]] * (n_pairs - len(pairs))
             src = np.asarray([p[0] for p in pairs], np.int32)
             dst = np.asarray([p[1] for p in pairs], np.int32)
             src_r = (np.arange(nl)[:, None] * nb + src[None, :]).reshape(-1)
             dst_r = (np.arange(nl)[:, None] * nb + dst[None, :]).reshape(-1)
             pools = cow(pools, jnp.asarray(src_r), jnp.asarray(dst_r))
+            _mark(f"cow ({len(pairs)} pages)", t0, sync=pools["k"])
         peak_blocks = max(peak_blocks, bm.num_blocks - bm.num_free)
+        t0 = _time.perf_counter()
 
         # flush tails -> pool pages: rows/offs (L, N, k_eff)
         blk = np.zeros((n_lanes, k_eff), np.int32)
@@ -619,6 +665,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                 + blk[None]).astype(np.int32)            # (L, N, k_eff)
         offs = np.broadcast_to(off[None], rows.shape).astype(np.int32)
         pools = flush(pools, tails, jnp.asarray(rows), jnp.asarray(offs))
+        _mark("flush (device)", t0, sync=pools["k"])
 
         cur = tokens_np[-1].reshape(n_lanes)
         cur_lens = cur_lens + k_eff

@@ -88,7 +88,11 @@ def main():
     # one-request dry run.
     warm_prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
     if args.beams:
-        ex.submit(warm_prompt, max_new_tokens=args.gen)
+        # warm with the SAME batch shape: the beam-burst program is
+        # compiled per (requests x beams) geometry, and a 1-request warm
+        # leaves the real program cold inside the timed window
+        for _ in range(args.requests):
+            ex.submit(list(warm_prompt), max_new_tokens=args.gen)
         ex.run_beams(num_beams=args.beams)
         ex.finished.clear()
     elif args.speculative:
