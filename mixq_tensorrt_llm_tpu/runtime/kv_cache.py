@@ -407,6 +407,27 @@ def paged_write(layer_caches, block_table: jax.Array,
                                    new_k[:, 0], new_v[:, 0], quantized)
     from ..ops._util import kernel_enabled
     if (use_kernels and int8_pool and kernel_enabled("MIXQ_WRITE_KERNEL")
+            and new_k.shape[1] <= 8):
+        # small unaligned row chunks (speculative verify's gamma+1 rows):
+        # one aliased token-write RMW per column. The XLA scatter below,
+        # sitting next to the Pallas attention read of the same carried
+        # pool, copy-protects the WHOLE pool (r3 on-chip: the in-graph
+        # spec burst compiled at 18.5 GB vs 15.75 HBM purely from this) —
+        # the chained aliased kernels keep it in one buffer.
+        if mesh is not None:
+            from ..parallel import kernel_shard as kshard
+            for s_i in range(new_k.shape[1]):
+                layer_caches = kshard.write_token(
+                    mesh, layer_caches, blk[:, s_i], off[:, s_i],
+                    new_k[:, s_i], new_v[:, s_i])
+            return layer_caches
+        from ..ops.paged_write import paged_write_token
+        for s_i in range(new_k.shape[1]):
+            layer_caches = paged_write_token(
+                layer_caches, blk[:, s_i], off[:, s_i],
+                new_k[:, s_i], new_v[:, s_i])
+        return layer_caches
+    if (use_kernels and int8_pool and kernel_enabled("MIXQ_WRITE_KERNEL")
             and new_k.shape[1] % bs == 0):
         # chunked prefill: aliased Pallas RMW of the pages each BS-token
         # slab lands in. The XLA scatter below, sitting next to the Pallas

@@ -447,9 +447,160 @@ class Executor:
 
         return draft_prefill, draft_propose, spec_verify
 
+    def _make_spec_burst(self, draft_cfg: ModelConfig, gamma: int,
+                         rounds: int, self_draft: bool = False):
+        """Device-paced speculative rounds: R x [gamma-step draft propose +
+        (gamma+1)-row verify + accept/commit] in ONE compiled call, with
+        the accept/reject/eos/budget bookkeeping IN-GRAPH (the per-round
+        host loop costs ~307 ms on the relay — 2 syncs + python — which
+        caps speculative at ~208 gen tok/s even at full acceptance;
+        docs/PERF.md). Pages are pre-extended host-side for the call's
+        worst case; rejected positions are overwritten in place next
+        round, exactly like the host-paced path."""
+        cfg_s, win_tokens, sink_tokens = (self.cfg, self._win_tokens,
+                                          self._sink_tokens)
+        use_k = self._use_kernels
+        kmesh = self._kernel_mesh
+        g1 = gamma + 1
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def spec_burst(params, dp, state, dstate, table, bpos, tok0, pos0,
+                       remaining0, done0, eos):
+            if self_draft:
+                # the draft IS the target: passing the 7B params pytree as
+                # a SECOND argument makes the AOT compiler budget it twice
+                # (measured: +6.6 GB -> compile-time HBM OOM), so the
+                # self-draft program takes it once and aliases here
+                dp = params
+            jidx = jnp.arange(g1, dtype=jnp.int32)[None, :]
+
+            def round_body(carry, _):
+                tok, pos, remaining, done, state, dstate = carry
+
+                def dbody(c, _):
+                    t, ds, p = c
+                    logits, ds = mcommon.forward_paged(
+                        dp, draft_cfg, t[:, None], p[:, None], ds, table,
+                        p + 1, block_pos=bpos, window=win_tokens,
+                        sink=sink_tokens, use_kernels=use_k, mesh=kmesh)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    return (nxt, ds, p + 1), nxt
+
+                (_, dstate, _), props = jax.lax.scan(
+                    dbody, (tok, dstate, pos), None, length=gamma)
+                props = jnp.moveaxis(props, 0, 1)            # (B, gamma)
+                rows = jnp.concatenate([tok[:, None], props], axis=1)
+                posr = pos[:, None] + jidx
+                logits, state = mcommon.forward_paged(
+                    params, cfg_s, rows, posr, state, table, pos + g1,
+                    block_pos=bpos, window=win_tokens, sink=sink_tokens,
+                    use_kernels=use_k, mesh=kmesh)
+                preds = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, g1)
+
+                eq = (props == preds[:, :gamma]).astype(jnp.int32)
+                m = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)      # (B,)
+                bonus = jnp.take_along_axis(preds, m[:, None], 1)[:, 0]
+                props_pad = jnp.concatenate(
+                    [props, jnp.zeros_like(tok)[:, None]], axis=1)
+                acc = jnp.where(jidx < m[:, None], props_pad,
+                                bonus[:, None])                   # (B, g1)
+
+                cnt = jnp.minimum(m + 1, remaining)
+                hit = (acc == eos[:, None]) & (jidx < cnt[:, None]) \
+                    & (eos[:, None] >= 0)
+                has_eos = jnp.any(hit, axis=1)
+                eos_idx = jnp.argmax(hit, axis=1)
+                cnt = jnp.where(has_eos, jnp.minimum(cnt, eos_idx + 1), cnt)
+                cnt = jnp.where(done, 0, cnt)
+                new_done = done | has_eos | (remaining - cnt <= 0)
+
+                newtok = jnp.take_along_axis(
+                    acc, jnp.maximum(cnt - 1, 0)[:, None], 1)[:, 0]
+                newtok = jnp.where(cnt > 0, newtok, tok)
+                return ((newtok, pos + cnt, remaining - cnt, new_done,
+                         state, dstate), (acc, cnt))
+
+            b = tok0.shape[0]
+            toks_buf = jnp.zeros((rounds, b, g1), jnp.int32)
+            cnts_buf = jnp.zeros((rounds, b), jnp.int32)
+
+            def cond(loop):
+                ridx, carry, _, _ = loop
+                done = carry[3]
+                return (ridx < rounds) & ~jnp.all(done)
+
+            def body(loop):
+                ridx, carry, toks_buf, cnts_buf = loop
+                carry, (acc, cnt) = round_body(carry, None)
+                toks_buf = jax.lax.dynamic_update_index_in_dim(
+                    toks_buf, acc, ridx, 0)
+                cnts_buf = jax.lax.dynamic_update_index_in_dim(
+                    cnts_buf, cnt, ridx, 0)
+                return ridx + 1, carry, toks_buf, cnts_buf
+
+            carry0 = (tok0, pos0, remaining0, done0, state, dstate)
+            nrounds, carry, toks_buf, cnts_buf = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry0, toks_buf, cnts_buf))
+            state, dstate = carry[4], carry[5]
+            return state, dstate, toks_buf, cnts_buf, nrounds
+
+        return spec_burst
+
+    def _run_spec_burst(self, spec_burst, draft_params, dstate,
+                        gamma: int, rounds: int):
+        """Host half of the device-paced speculative rounds: pre-extend
+        every lane's pages for the call's worst case, run the compiled
+        R-round program, unpack committed tokens (host-side stop/eos
+        unstitching via _append_token), rewind to the manager rest state.
+        Returns the advanced draft pool state."""
+        g1 = gamma + 1
+        b = self.max_batch
+        mbs = self.max_blocks_per_seq
+        active = [(i, r) for i, r in enumerate(self.slots)
+                  if r is not None]
+        tok0 = np.zeros((b,), np.int32)
+        pos0 = np.full((b,), self.max_seq_len - rounds * g1 - 2, np.int32)
+        remaining = np.zeros((b,), np.int32)
+        done = np.ones((b,), bool)
+        eos = np.full((b,), -1, np.int32)
+        table = np.zeros((b, mbs), np.int32)
+        bpos = np.full((b, mbs), PAD_POS, np.int32)
+        for i, r in active:
+            ln = len(r.sequence)
+            self.bm.extend(r.req_id, rounds * g1)
+            tok0[i] = r.sequence[-1]
+            pos0[i] = ln - 1
+            remaining[i] = r.max_new_tokens - len(r.generated)
+            done[i] = False
+            if r.eos_token_id is not None:
+                eos[i] = r.eos_token_id
+            table[i] = self.bm.block_table([r.req_id], mbs)[0]
+            bpos[i] = self.bm.block_pos([r.req_id], mbs)[0]
+        self.state, dstate, toks, cnts, nrounds = spec_burst(
+            self.params, draft_params, self.state, dstate,
+            jnp.asarray(table), jnp.asarray(bpos), jnp.asarray(tok0),
+            jnp.asarray(pos0), jnp.asarray(remaining), jnp.asarray(done),
+            jnp.asarray(eos))
+        toks_np = np.asarray(toks)     # (R, B, g1)
+        cnts_np = np.asarray(cnts)     # (R, B)
+        self.spec_rounds += int(nrounds)
+        for ridx in range(rounds):
+            for i, r in active:
+                for j in range(int(cnts_np[ridx, i])):
+                    if r.done:
+                        break
+                    self._append_token(r, int(toks_np[ridx, i, j]))
+        for i, r in active:
+            if not r.done:
+                # manager rest state: the newest token's page is allocated
+                # by the NEXT round's extend
+                self.bm.rewind(r.req_id, len(r.sequence) - 1)
+        return dstate
+
     def run_speculative(self, draft_params, draft_cfg: ModelConfig,
                         gamma: int = 4,
-                        paged_draft: bool = True) -> Dict[int, Request]:
+                        paged_draft: bool = True,
+                        rounds_per_call: int = 8) -> Dict[int, Request]:
         """Drive all submitted work with in-flight speculative decoding
         (reference: the C++ executor's draft-token path — external draft
         model proposals verified in the target engine, rejected KV rewound
@@ -533,6 +684,10 @@ class Executor:
 
         g1 = gamma + 1
         self.spec_rounds = 0
+        spec_burst = (self._make_spec_burst(
+                          draft_cfg, gamma, rounds_per_call,
+                          self_draft=draft_params is self.params)
+                      if paged_draft and rounds_per_call > 1 else None)
         while self.num_active > 0:
             live = [r for r in self.slots if r is not None]
             if any(len(r.sequence) + gamma > self.max_seq_len
@@ -541,6 +696,14 @@ class Executor:
                 # absorb a whole verify chunk: finish it with plain steps
                 self.step()
                 continue
+            if spec_burst is not None:
+                maxlen = max(len(r.sequence) for r in live)
+                if (self.max_seq_len - maxlen) // g1 >= rounds_per_call:
+                    # device-paced: R in-graph rounds, ONE host sync
+                    dcache = self._run_spec_burst(
+                        spec_burst, draft_params, dcache, gamma,
+                        rounds_per_call)
+                    continue
             self.spec_rounds += 1
             active = [(i, r) for i, r in enumerate(self.slots)
                       if r is not None]
