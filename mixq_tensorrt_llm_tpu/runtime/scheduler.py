@@ -255,6 +255,7 @@ class Executor:
                 logits = jnp.where(proc_masks[pi][:, None],
                                    f(logits, history), logits)
             return logits
+        self._apply_procs = apply_procs
 
         cfg_s = cfg
         mb = self.max_blocks_per_seq
@@ -1305,7 +1306,20 @@ class Executor:
                 min_left[i] = max(0, req.min_new_tokens - len(req.generated))
 
         if k not in self._burst_fns:
-            self._burst_fns[k] = self._make_burst(k)
+            km = self._kernel_mesh
+            if km is not None and int(km.shape.get("pp", 1)) > 1 \
+                    and self.max_batch % int(km.shape["pp"]) == 0:
+                # pp circular-microbatch burst: every stage does useful
+                # work every tick (runtime/pp_burst.py) — the per-step pp
+                # path costs a full-depth step per token regardless of pp
+                from .pp_burst import make_pp_decode_burst
+                self._burst_fns[k] = make_pp_decode_burst(
+                    self.cfg, km, k, self.max_batch, self._win_tokens,
+                    self._sink_tokens, self._use_kernels,
+                    apply_procs=self._apply_procs if self._proc_names
+                    else None, num_procs=len(self._proc_names))
+            else:
+                self._burst_fns[k] = self._make_burst(k)
         self.key, sub = jax.random.split(self.key)
         toks, lps, self.state = self._burst_fns[k](
             self.params, jnp.asarray(tokens), self.state,
@@ -1328,14 +1342,20 @@ class Executor:
 
     def warmup(self, prompt_len: Optional[int] = None, burst: int = 1
                ) -> None:
-        """Compile the prefill / decode (/ burst) programs before real
+        """Compile the prefill / decode / burst programs before real
         traffic (the reference pays this offline at engine build; under
         jit the cost lands on the first request unless moved here). Runs
-        one dummy request end-to-end and discards it."""
+        one dummy request end-to-end and discards it. With burst > 1 the
+        request's budget is sized so the adaptive pow2 burst LADDER
+        (burst, burst/2, ..., 1 — run()'s tail schedule) compiles too:
+        each rung is its own XLA program, ~20 s cold at 7B, and an
+        unwarmed rung lands mid-serving (measured: a cold ladder turned a
+        455 tok/s run into 36)."""
         assert not self.has_work, "warmup() on an idle executor only"
+        budget = burst + 1 if burst <= 1 else 2 * burst
         n = prompt_len or min(self.prefill_chunk, self.max_seq_len // 2)
-        n = min(n, self.max_seq_len - burst - 2)
-        rid = self.submit([1] * max(n, 1), max_new_tokens=burst + 1)
+        n = min(n, self.max_seq_len - budget - 2)
+        rid = self.submit([1] * max(n, 1), max_new_tokens=budget)
         self.run(burst=burst)
         self.finished.pop(rid, None)
 

@@ -84,3 +84,43 @@ def test_pp2_burst_and_window(monkeypatch):
     want, _ = _run(cfg, params, None, burst=3)
     got, _ = _run(cfg, params, _mesh(pp=2), burst=3)
     assert got == want, (got, want)
+
+
+def test_pp2_tp2_burst_matches_single():
+    """Circular-microbatch pp burst with the stage body auto-partitioned
+    over tp: outputs equal the single-device burst run."""
+    cfg = ModelConfig(**BASE)
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+    want, _ = _run(cfg, params, None, burst=4)
+    got, _ = _run(cfg, params, _mesh(pp=2, tp=2), burst=4)
+    assert got == want, (got, want)
+
+
+def test_pp_burst_sampling_controls(monkeypatch):
+    """eos + min_new_tokens + bad_words ride the pp burst's in-graph
+    sampler identically to the single-device burst.
+
+    f32 model: bf16-rounded logits on a 128-vocab random model produce
+    EXACT top-1 ties (measured: two tokens at 0.291015625), and argmax
+    tie-breaking is program-dependent — the pp burst and the single-device
+    burst are different XLA programs, so a tie flips the trajectory
+    without any semantic difference."""
+    import jax.numpy as jnp
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    cfg = ModelConfig(**BASE, dtype=jnp.float32)
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+
+    def run(mesh):
+        ex = Executor(params, cfg, seed=0, mesh=mesh, max_batch=2,
+                      max_seq_len=64, block_size=8, prefill_chunk=8)
+        probe = ex.submit([3, 1, 4], max_new_tokens=10)
+        base = ex.run(burst=4)[probe].generated
+        ex2 = Executor(params, cfg, seed=0, mesh=mesh, max_batch=2,
+                       max_seq_len=64, block_size=8, prefill_chunk=8)
+        rid = ex2.submit([3, 1, 4], max_new_tokens=10,
+                         eos_token_id=base[4], min_new_tokens=3,
+                         bad_words=[[base[1]]])
+        return ex2.run(burst=4)[rid].generated
+
+    assert run(_mesh(pp=2)) == run(None)
