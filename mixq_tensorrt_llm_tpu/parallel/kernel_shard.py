@@ -27,7 +27,6 @@ the jnp path otherwise).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

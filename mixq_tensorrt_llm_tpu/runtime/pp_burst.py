@@ -43,8 +43,7 @@ from .sampler import sample_batched
 
 def make_pp_decode_burst(cfg: ModelConfig, mesh, k_steps: int,
                          max_batch: int, win_tokens: int, sink_tokens: int,
-                         use_kernels: bool, apply_procs=None,
-                         num_procs: int = 0):
+                         use_kernels: bool, apply_procs=None):
     """Build the jitted pp-circular burst program.
 
     Returned fn has the single-device burst_fn's contract —

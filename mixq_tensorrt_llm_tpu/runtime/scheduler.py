@@ -1317,7 +1317,7 @@ class Executor:
                     self.cfg, km, k, self.max_batch, self._win_tokens,
                     self._sink_tokens, self._use_kernels,
                     apply_procs=self._apply_procs if self._proc_names
-                    else None, num_procs=len(self._proc_names))
+                    else None)
             else:
                 self._burst_fns[k] = self._make_burst(k)
         self.key, sub = jax.random.split(self.key)
