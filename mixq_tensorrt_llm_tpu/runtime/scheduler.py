@@ -1410,20 +1410,36 @@ class Executor:
 
         burst > 1 runs decode in k-step compiled bursts whenever nothing
         is queued or prefilling (identical greedy outputs to burst=1; the
-        stochastic sample stream differs by key schedule only). The burst
-        length adapts: k = the largest power of two <= min(burst,
-        min-remaining-token-budget across lanes), so the tail of a batch
-        never computes discarded steps and the set of compiled burst
-        programs stays O(log burst). Larger bursts are the serving-
-        overhead lever (r2 VERDICT weak #7: ~45 ms host RTT per sync ate
-        ~half of decode throughput at burst 16)."""
+        stochastic sample stream differs by key schedule only). Full-size
+        bursts run while every lane has >= burst tokens of budget left;
+        the batch tail then runs ONE pow2-CEILING burst (overshoot steps
+        discarded host-side, tokens past eos/max_new dropped by
+        step_burst) rather than a descending pow2 ladder — each ladder
+        rung costs a host RTT (~45 ms on the relay), which is dearer than
+        the few wasted compute steps. The compiled-program set stays
+        O(log burst). Larger bursts are the serving-overhead lever (r2
+        VERDICT weak #7: ~45 ms host RTT per sync ate ~half of decode
+        throughput at burst 16)."""
         while self.has_work:
             if (burst > 1 and not self.queue and not self.prefilling
                     and self.num_active > 0):
+                lanes = [r for r in self.slots if r is not None]
                 rem = min(r.max_new_tokens - len(r.generated)
-                          for r in self.slots if r is not None)
-                k = min(burst, max(rem, 1))
-                k = 1 << (k.bit_length() - 1)
+                          for r in lanes)
+                if rem >= burst:
+                    k = burst
+                else:
+                    # tail: ONE pow2-CEILING burst (overshoot discarded
+                    # host-side) — a descending pow2 ladder pays a host
+                    # RTT per rung, which on the ~45 ms relay costs more
+                    # than the few discarded steps (measured ~0.2 s per
+                    # batch at bs 32); the ceiling must still fit the
+                    # lanes' page capacity, else floor to what does
+                    k = min(1 << max(rem - 1, 0).bit_length(), burst)
+                    cap = self.max_seq_len - max(len(r.sequence)
+                                                 for r in lanes)
+                    if k > cap:
+                        k = 1 << (max(rem, 1).bit_length() - 1)
                 produced = self.step_burst(k) if k > 1 else 0
                 if produced:
                     continue

@@ -86,7 +86,15 @@ def main():
     # serves warm, and the persistent XLA cache makes later cold starts
     # cheap). Beam / speculative modes warm their own programs with a
     # one-request dry run.
-    warm_prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
+    shared = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
+    # block-reuse mode warms with the SHARED prompt: it primes the prefix
+    # cache (production servers hold a warm system-prompt cache) AND
+    # compiles the PARTIAL prefill chunk the adopted-prefix remainder
+    # lands in (the adaptive chunk sizes it below prefill_chunk; unwarmed
+    # it cost a cold compile mid-window — measured 14 s TTFT p50)
+    warm_prompt = (list(shared) if args.block_reuse
+                   else rng.integers(1, cfg.vocab_size,
+                                     args.prompt).tolist())
     if args.beams:
         # warm with the SAME batch shape: the beam-burst program is
         # compiled per (requests x beams) geometry, and a 1-request warm
@@ -113,8 +121,6 @@ def main():
         ex.run(burst=args.burst)
         ex.finished.clear()
     print("warm", file=sys.stderr, flush=True)
-
-    shared = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
 
     def prompt_for(i):
         # block-reuse mode: all requests share the prompt (system-prompt
