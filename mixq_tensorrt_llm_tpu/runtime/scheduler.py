@@ -1059,8 +1059,18 @@ class Executor:
             proc_masks=self._proc_masks(padded))
         if self.ostate is not None:
             self.ostate = new_ostate
-        tok_np = np.asarray(tok)
-        lp_np = np.asarray(lp)
+        # Only read the sampled token back when some lane actually finishes
+        # its prompt this chunk (known host-side from `length`): mid-prompt
+        # chunks discard it, and forcing the transfer there costs a full
+        # host RTT (~45 ms on the relay) per chunk — the decode readback in
+        # step() already paces the host, so mixed prefill+decode steps drop
+        # from two syncs to one.
+        if any(int(length[i]) >= len(req.prompt)
+               for i, req in enumerate(lanes)):
+            tok_np = np.asarray(tok)
+            lp_np = np.asarray(lp)
+        else:
+            tok_np = lp_np = None
         for i, req in enumerate(lanes):
             req.prefill_pos = int(length[i])
             if self.block_reuse:
