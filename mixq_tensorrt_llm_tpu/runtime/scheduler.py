@@ -1014,9 +1014,13 @@ class Executor:
         still page-aligned for the aliased write kernel)."""
         if not self.prefilling:
             return
-        p = self.prefill_lanes
         chunk = self.prefill_chunk
-        lanes = self.prefilling[:p]
+        lanes = self.prefilling[:self.prefill_lanes]
+        # lane count adapts like the chunk does: the smallest power of two
+        # covering the lanes actually prefilling (a trickle arrival or an
+        # admission drain with 1 lane shouldn't pay prefill_lanes-wide
+        # compute — 4x the FLOPs for the same tokens at the default 4)
+        p = min(self.prefill_lanes, 1 << max(len(lanes) - 1, 0).bit_length())
         rem = max(len(r.prompt) - r.prefill_pos for r in lanes)
         c_eff = self.block_size
         while c_eff < min(rem, chunk):
@@ -1360,7 +1364,10 @@ class Executor:
         (burst, burst/2, ..., 1 — run()'s tail schedule) compiles too:
         each rung is its own XLA program, ~20 s cold at 7B, and an
         unwarmed rung lands mid-serving (measured: a cold ladder turned a
-        455 tok/s run into 36)."""
+        455 tok/s run into 36). Prefill programs are compiled for every
+        pow2 LANE count up to prefill_lanes too (the lane count adapts to
+        the prefilling set, so a drain admission mid-serving hits the
+        1/2-lane variants)."""
         assert not self.has_work, "warmup() on an idle executor only"
         budget = burst + 1 if burst <= 1 else 2 * burst
         n = prompt_len or min(self.prefill_chunk, self.max_seq_len // 2)
@@ -1368,6 +1375,14 @@ class Executor:
         rid = self.submit([1] * max(n, 1), max_new_tokens=budget)
         self.run(burst=burst)
         self.finished.pop(rid, None)
+        c = 2
+        while c <= self.prefill_lanes and c <= self.max_batch:
+            rids = [self.submit([1] * max(n, 1), max_new_tokens=1)
+                    for _ in range(c)]
+            self.run()
+            for r in rids:
+                self.finished.pop(r, None)
+            c *= 2
 
     def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0,
                   burst: int = 16) -> Dict[int, Request]:

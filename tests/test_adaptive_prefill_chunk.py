@@ -53,3 +53,43 @@ def test_adaptive_chunk_sizes_shrink(monkeypatch):
     ex.submit(list(range(1, 30)), max_new_tokens=2)  # 29 tokens -> 32-chunk
     ex.run()
     assert widths[0] == 8 and widths[-1] == 32, widths
+
+
+def test_adaptive_lane_count():
+    """The lane axis adapts too: a single prefilling request runs a
+    (1, chunk) program, three run a pow2-padded (4, chunk); outputs equal
+    the fixed-lane executor's."""
+    cfg = ModelConfig(**CFG)
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4, 1, 5], [2] * 12, [7] * 9]
+
+    lane_counts = []
+
+    def run(n_prompts, spy=False):
+        ex = Executor(params, cfg, max_batch=4, max_seq_len=64,
+                      block_size=8, prefill_chunk=16, prefill_lanes=4,
+                      seed=0)
+        if spy:
+            orig = ex._prefill
+
+            def wrapped(params, tokens, *a, **kw):
+                lane_counts.append(tokens.shape[0])
+                return orig(params, tokens, *a, **kw)
+
+            ex._prefill = wrapped
+        ids = [ex.submit(p, max_new_tokens=4) for p in prompts[:n_prompts]]
+        done = ex.run()
+        return [done[r].generated for r in ids]
+
+    one = run(1, spy=True)
+    assert lane_counts and set(lane_counts) == {1}, lane_counts
+    lane_counts.clear()
+    three = run(3, spy=True)
+    assert lane_counts and set(lane_counts) == {4}, lane_counts
+    assert run(1) == one and run(3) == three  # deterministic
+    # parity vs a wider-both-axes executor (different program shapes)
+    ex = Executor(params, cfg, max_batch=4, max_seq_len=64,
+                  block_size=8, prefill_chunk=32, prefill_lanes=4, seed=0)
+    ids = [ex.submit(p, max_new_tokens=4) for p in prompts]
+    done = ex.run()
+    assert [done[r].generated for r in ids] == three

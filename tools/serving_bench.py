@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--burst", type=int, default=16)
     ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--kv_heads", type=int, default=32,
+                    help="GQA: 8 gives Llama-3-8B-like geometry — the KV "
+                         "pool shrinks 4x, so deeper gen/batch fits")
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--block_reuse", action="store_true",
                     help="shared-prompt workload through the prefix cache")
@@ -59,7 +62,7 @@ def main():
 
     cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
                       intermediate_size=11008, num_layers=args.layers,
-                      num_heads=32, num_kv_heads=32, head_dim=128,
+                      num_heads=32, num_kv_heads=args.kv_heads, head_dim=128,
                       quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
                                         num_outliers=128,
                                         kv_cache=KVCacheQuantAlgo.INT8))
@@ -120,6 +123,19 @@ def main():
         ex.submit(warm_prompt, max_new_tokens=args.gen)
         ex.run(burst=args.burst)
         ex.finished.clear()
+    if not args.beams:
+        # compile the pow2 prefill LANE variants (the lane count adapts
+        # to the prefilling set; mid-run drain admissions hit 1/2/4-lane
+        # programs that would otherwise compile cold in the timed window;
+        # beam mode skips this — run_beams prefills through its own
+        # chunked path, not the executor lanes)
+        c = 2
+        while c <= 4 and c <= args.max_batch:
+            for _ in range(c):
+                ex.submit(list(warm_prompt), max_new_tokens=1)
+            ex.run()
+            ex.finished.clear()
+            c *= 2
     print("warm", file=sys.stderr, flush=True)
 
     def prompt_for(i):
