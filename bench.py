@@ -305,7 +305,11 @@ def main():
             rng = np.random.default_rng(0)
             ex.submit(rng.integers(1, scfg.vocab_size, plen).tolist(),
                       max_new_tokens=glen)
-            ex.run(burst=burst)      # warm: compiles the full pow2 ladder
+            ex.run(burst=burst)      # warm the full-gen burst sequence
+            ex.finished.clear()
+            # pow2 rungs below burst + prefill lane variants (tail
+            # ceilings and prefill-overlapped mixed bursts hit them)
+            ex.warmup(prompt_len=min(plen, 256), burst=burst)
             ex.finished.clear()
             log(f"  staged+warm in {time.time()-t0:.0f}s")
             rids = [ex.submit(rng.integers(1, scfg.vocab_size,

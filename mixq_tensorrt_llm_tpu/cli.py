@@ -291,6 +291,10 @@ def _add_serve(sub):
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting "
                         "traffic (steady-state first-request latency)")
+    p.add_argument("--burst", type=int, default=1,
+                   help="decode in compiled k-step bursts (throughput "
+                        "lever on high-RTT hosts; streaming flushes per "
+                        "burst instead of per token)")
     return p
 
 
@@ -303,7 +307,8 @@ def _cmd_serve(args):
                max_batch=args.max_batch, block_size=args.block_size,
                prefill_chunk=args.prefill_chunk,
                snapshot_path=args.snapshot_path,
-               max_queue_size=args.max_queue_size, warmup=args.warmup)
+               max_queue_size=args.max_queue_size, warmup=args.warmup,
+               burst=args.burst)
 
 
 def main(argv=None):

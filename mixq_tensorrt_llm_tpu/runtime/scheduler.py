@@ -1375,6 +1375,17 @@ class Executor:
         rid = self.submit([1] * max(n, 1), max_new_tokens=budget)
         self.run(burst=burst)
         self.finished.pop(rid, None)
+        # every pow2 rung below burst: the batch tail's ceiling bursts and
+        # the mixed-phase (prefill-overlapped) bursts hit k in
+        # {2, 4, ..., burst/2}, and each is its own XLA program
+        k = burst // 2
+        while k >= 2:
+            # budget k+1: the prefill emits one token, leaving exactly k
+            # of budget so run() takes one full k-burst
+            rid = self.submit([1] * max(n, 1), max_new_tokens=k + 1)
+            self.run(burst=k)
+            self.finished.pop(rid, None)
+            k //= 2
         c = 2
         while c <= self.prefill_lanes and c <= self.max_batch:
             rids = [self.submit([1] * max(n, 1), max_new_tokens=1)
@@ -1430,47 +1441,71 @@ class Executor:
                 self.finished[r.req_id] = r
         return self.finished
 
-    def run(self, burst: int = 1) -> Dict[int, Request]:
+    def _burst_k(self, burst: int) -> int:
+        """Burst length for the current decode lanes: full `burst` while
+        every lane has that much budget left, else ONE pow2-CEILING burst
+        for the batch tail (overshoot discarded host-side) — a descending
+        pow2 ladder pays a host RTT per rung (~45 ms on the relay), which
+        costs more than the few discarded steps (measured ~0.2 s per
+        batch at bs 32). The ceiling must still fit the lanes' page
+        capacity, else it floors to what does."""
+        lanes = [r for r in self.slots if r is not None]
+        rem = min(r.max_new_tokens - len(r.generated) for r in lanes)
+        if rem >= burst:
+            return burst
+        k = min(1 << max(rem - 1, 0).bit_length(), burst)
+        cap = self.max_seq_len - max(len(r.sequence) for r in lanes)
+        if k > cap:
+            k = 1 << (max(rem, 1).bit_length() - 1)
+        return k
+
+    def run(self, burst: int = 1, mixed_burst: int = 8) -> Dict[int, Request]:
         """Drive until all submitted work is finished.
 
-        burst > 1 runs decode in k-step compiled bursts whenever nothing
-        is queued or prefilling (identical greedy outputs to burst=1; the
-        stochastic sample stream differs by key schedule only). Full-size
-        bursts run while every lane has >= burst tokens of budget left;
-        the batch tail then runs ONE pow2-CEILING burst (overshoot steps
-        discarded host-side, tokens past eos/max_new dropped by
-        step_burst) rather than a descending pow2 ladder — each ladder
-        rung costs a host RTT (~45 ms on the relay), which is dearer than
-        the few wasted compute steps. The compiled-program set stays
-        O(log burst). Larger bursts are the serving-overhead lever (r2
-        VERDICT weak #7: ~45 ms host RTT per sync ate ~half of decode
-        throughput at burst 16)."""
+        burst > 1 runs decode in k-step compiled bursts (identical greedy
+        outputs to burst=1; the stochastic sample stream differs by key
+        schedule only), sized by _burst_k (full-size until the batch
+        tail, then one pow2-ceiling burst). The compiled-program set
+        stays O(log burst). Larger bursts are the serving-overhead lever
+        (r2 VERDICT weak #7: ~45 ms host RTT per sync ate ~half of decode
+        throughput at burst 16).
+
+        While requests are queued or prefilling, decode lanes ride
+        min(burst, mixed_burst)-step bursts BEHIND the async prefill
+        chunk instead of dropping to single steps — the analogue of the
+        reference's fused context+generation iteration (inflight
+        batching): one host sync covers a prefill chunk plus
+        mixed_burst decode tokens per lane. The cost is bounded
+        admission/EOS latency (up to mixed_burst-1 extra steps);
+        mixed_burst=1 restores strict step-per-sync behavior."""
         while self.has_work:
-            if (burst > 1 and not self.queue and not self.prefilling
-                    and self.num_active > 0):
-                lanes = [r for r in self.slots if r is not None]
-                rem = min(r.max_new_tokens - len(r.generated)
-                          for r in lanes)
-                if rem >= burst:
-                    k = burst
-                else:
-                    # tail: ONE pow2-CEILING burst (overshoot discarded
-                    # host-side) — a descending pow2 ladder pays a host
-                    # RTT per rung, which on the ~45 ms relay costs more
-                    # than the few discarded steps (measured ~0.2 s per
-                    # batch at bs 32); the ceiling must still fit the
-                    # lanes' page capacity, else floor to what does
-                    k = min(1 << max(rem - 1, 0).bit_length(), burst)
-                    cap = self.max_seq_len - max(len(r.sequence)
-                                                 for r in lanes)
-                    if k > cap:
-                        k = 1 << (max(rem, 1).bit_length() - 1)
-                produced = self.step_burst(k) if k > 1 else 0
-                if produced:
-                    continue
-            produced = self.step()
+            produced = self.step_serving(burst, mixed_burst)
             if produced == 0 and self.queue and not self.prefilling:
                 raise RuntimeError(
                     "scheduler stalled: queue non-empty but nothing "
                     "admittable (KV pool too small for the next request)")
         return self.finished
+
+    def step_serving(self, burst: int = 1, mixed_burst: int = 8) -> int:
+        """One scheduling iteration — the loop body of run(), exposed for
+        external drivers (the HTTP server's stepper thread): burst decode
+        when nothing is queued/prefilling, admit + async prefill chunk +
+        mixed burst otherwise, plain step() as the fallback. Returns
+        tokens produced (0 also covers a pure-prefill advance)."""
+        if burst > 1 and self.num_active > 0:
+            if not self.queue and not self.prefilling:
+                k = self._burst_k(burst)
+                produced = self.step_burst(k) if k > 1 else 0
+                if produced:
+                    return produced
+            elif mixed_burst > 1:
+                # mixed phase: admit + dispatch one prefill chunk (no
+                # readback on mid-prompt chunks), then burst the decode
+                # lanes behind it on device
+                self._admit()
+                self._step_prefill()
+                k = min(self._burst_k(burst), mixed_burst)
+                produced = self.step_burst(k) if k > 1 else 0
+                if produced:
+                    return produced
+        return self.step()

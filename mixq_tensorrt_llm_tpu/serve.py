@@ -39,16 +39,19 @@ class InferenceServer:
     def __init__(self, llm, max_batch: int = 8, block_size: int = 64,
                  prefill_chunk: int = 256, snapshot_path=None,
                  snapshot_interval_s: float = 30.0,
-                 max_queue_size: int = 0, warmup: bool = False):
+                 max_queue_size: int = 0, warmup: bool = False,
+                 burst: int = 1):
         self.llm = llm
+        self.burst = burst
         self.executor = llm.make_executor(max_batch=max_batch,
                                           block_size=block_size,
                                           prefill_chunk=prefill_chunk,
                                           max_queue_size=max_queue_size)
         if warmup:
             # compile prefill/decode before accepting traffic so the
-            # first request sees steady-state latency
-            self.executor.warmup()
+            # first request sees steady-state latency (with burst > 1:
+            # every pow2 burst rung and prefill lane variant too)
+            self.executor.warmup(burst=burst)
         # crash-resume: reload pending work from a previous process's
         # snapshot and keep snapshotting while work is in flight
         # (Executor.snapshot/restore; results of resumed requests land in
@@ -68,7 +71,12 @@ class InferenceServer:
     def _step_loop(self):
         while not self._stop.is_set():
             with self._lock:
-                worked = self.executor.step() if self.executor.has_work else 0
+                # burst > 1 trades per-token streaming granularity for
+                # throughput: decode runs in compiled k-step bursts (and
+                # rides behind prefill chunks), stream chunks flush per
+                # burst instead of per token
+                worked = (self.executor.step_serving(self.burst)
+                          if self.executor.has_work else 0)
                 for rid, req in list(self.executor.finished.items()):
                     ev = self._events.get(rid)
                     if ev is not None:
@@ -307,11 +315,13 @@ def make_handler(server: InferenceServer):
 def run_server(llm, host: str = "127.0.0.1", port: int = 8000,
                max_batch: int = 8, block_size: int = 64,
                prefill_chunk: int = 256, snapshot_path=None,
-               max_queue_size: int = 0, warmup: bool = False) -> None:
+               max_queue_size: int = 0, warmup: bool = False,
+               burst: int = 1) -> None:
     srv = InferenceServer(llm, max_batch=max_batch, block_size=block_size,
                           prefill_chunk=prefill_chunk,
                           snapshot_path=snapshot_path,
-                          max_queue_size=max_queue_size, warmup=warmup)
+                          max_queue_size=max_queue_size, warmup=warmup,
+                          burst=burst)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     print(f"serving on http://{host}:{port} "
           f"(POST /generate, GET /health)", flush=True)

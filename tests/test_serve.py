@@ -199,3 +199,42 @@ def test_snapshot_restore_cycle(tmp_path):
     with open(path) as f:
         snap = json.load(f)
     assert snap["pending"] == []         # nothing left in flight
+
+
+def test_burst_server_matches_single_step():
+    """burst>1 server: decode rides compiled bursts (and mixed-phase
+    bursts behind prefill chunks); greedy outputs equal the step server."""
+    from mixq_tensorrt_llm_tpu.serve import InferenceServer
+    from mixq_tensorrt_llm_tpu.runtime import Executor
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=64,
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=4))
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+
+    class FakeLLM:
+        tokenizer = None
+        max_seq_len = 64
+
+        def make_executor(self, **_):
+            return Executor(params, cfg, seed=0, max_seq_len=64,
+                            max_batch=4, block_size=8, prefill_chunk=16)
+
+    prompts = [[3, 1, 4, 1], [2] * 9, [7] * 17, [5, 6]]
+
+    def drive(burst):
+        srv = InferenceServer(FakeLLM(), burst=burst)
+        try:
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(4) as pool:
+                outs = list(pool.map(
+                    lambda p: srv.generate(p, max_new_tokens=10,
+                                           use_eos=False)["tokens"],
+                    prompts))
+            return outs
+        finally:
+            srv.shutdown()
+
+    assert drive(8) == drive(1)

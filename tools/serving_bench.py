@@ -124,18 +124,13 @@ def main():
         ex.run(burst=args.burst)
         ex.finished.clear()
     if not args.beams:
-        # compile the pow2 prefill LANE variants (the lane count adapts
-        # to the prefilling set; mid-run drain admissions hit 1/2/4-lane
-        # programs that would otherwise compile cold in the timed window;
-        # beam mode skips this — run_beams prefills through its own
-        # chunked path, not the executor lanes)
-        c = 2
-        while c <= 4 and c <= args.max_batch:
-            for _ in range(c):
-                ex.submit(list(warm_prompt), max_new_tokens=1)
-            ex.run()
-            ex.finished.clear()
-            c *= 2
+        # compile everything else the timed window can hit: the pow2
+        # burst rungs below args.burst (batch-tail ceilings + the
+        # mixed-phase bursts that ride behind prefill chunks) and the
+        # 1/2/4-lane prefill program variants. Beam mode skips this —
+        # run_beams prefills through its own chunked path.
+        ex.warmup(prompt_len=min(args.prompt, 256), burst=args.burst)
+        ex.finished.clear()
     print("warm", file=sys.stderr, flush=True)
 
     def prompt_for(i):
