@@ -292,13 +292,16 @@ def main():
             from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
             gc.collect()
             jax.clear_caches()
-            n_req, plen, glen, burst = 16, 512, 256, 64
+            # decode-dominant shape: short prompts, long gen at bs 32 —
+            # the regime where serving reaches parity with raw in-jit
+            # decode (docs/PERF.md round-3 sweep: 1181 gen tok/s)
+            n_req, plen, glen, burst = 32, 256, 512, 64
             scfg = ModelConfig(**cfg_kw, quant=mix)
             log(f"[bench] serving: {n_req} req, prompt {plen}, gen {glen}, "
                 f"burst {burst}")
             t0 = time.time()
             sparams = mllama.init_random_params(scfg, jax.random.PRNGKey(0))
-            ex = Executor(sparams, scfg, max_batch=16,
+            ex = Executor(sparams, scfg, max_batch=32,
                           max_seq_len=plen + glen + burst + 8,
                           block_size=128, prefill_chunk=256,
                           prefill_lanes=4, seed=0)

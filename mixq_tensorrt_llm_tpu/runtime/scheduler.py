@@ -1459,7 +1459,7 @@ class Executor:
             k = 1 << (max(rem, 1).bit_length() - 1)
         return k
 
-    def run(self, burst: int = 1, mixed_burst: int = 8) -> Dict[int, Request]:
+    def run(self, burst: int = 1, mixed_burst: int = 1) -> Dict[int, Request]:
         """Drive until all submitted work is finished.
 
         burst > 1 runs decode in k-step compiled bursts (identical greedy
@@ -1470,14 +1470,19 @@ class Executor:
         (r2 VERDICT weak #7: ~45 ms host RTT per sync ate ~half of decode
         throughput at burst 16).
 
-        While requests are queued or prefilling, decode lanes ride
-        min(burst, mixed_burst)-step bursts BEHIND the async prefill
-        chunk instead of dropping to single steps — the analogue of the
-        reference's fused context+generation iteration (inflight
-        batching): one host sync covers a prefill chunk plus
-        mixed_burst decode tokens per lane. The cost is bounded
-        admission/EOS latency (up to mixed_burst-1 extra steps);
-        mixed_burst=1 restores strict step-per-sync behavior."""
+        mixed_burst > 1 additionally lets decode lanes ride short bursts
+        BEHIND the async prefill chunk while requests are queued or
+        prefilling — the analogue of the reference's fused
+        context+generation iteration (inflight batching): one host sync
+        covers a prefill chunk plus mixed_burst decode tokens per lane.
+        Right for CONTINUOUS-ARRIVAL serving (the HTTP server turns it
+        on), where any in-flight prefill otherwise drops every decode
+        lane to one sync per token; wrong for drain-style batch runs
+        like this method's typical callers — bursting behind admission
+        waves desyncs lane budgets, so early lanes finish first and the
+        batch drains underfilled (measured −5% to −14% end-to-end on
+        fixed-gen batches; docs/PERF.md round 3) — hence the default 1
+        here and 8 in step_serving."""
         while self.has_work:
             produced = self.step_serving(burst, mixed_burst)
             if produced == 0 and self.queue and not self.prefilling:

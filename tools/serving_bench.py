@@ -53,6 +53,15 @@ def main():
                          "oversubscription preempts under pressure")
     ap.add_argument("--beams", type=int, default=0,
                     help="run_beams beam width (0 = greedy serving)")
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="Poisson arrivals at this rate (req/s) driven "
+                         "through step_serving, like the HTTP server — "
+                         "instead of submitting all requests up front "
+                         "(drain mode)")
+    ap.add_argument("--mixed_burst", type=int, default=8,
+                    help="arrival mode: decode burst length behind "
+                         "in-flight prefill chunks (1 = single-step "
+                         "whenever anything is prefilling)")
     args = ap.parse_args()
 
     from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
@@ -138,6 +147,47 @@ def main():
         # workload); otherwise independent random prompts
         return list(shared) if args.block_reuse else rng.integers(
             1, cfg.vocab_size, args.prompt).tolist()
+
+    if args.arrival_rate > 0:
+        # continuous-arrival serving: the regime the HTTP server runs in.
+        # Requests arrive mid-flight, so some prefill is almost always in
+        # the air; mixed_burst>1 keeps decode at burst speed behind it
+        # (mixed_burst=1 reproduces the old one-sync-per-token cliff).
+        gaps = np.random.default_rng(1).exponential(
+            1.0 / args.arrival_rate, args.requests)
+        t_arr = np.cumsum(gaps)
+        rids = []
+        t0 = time.time()
+        start = time.perf_counter()
+        while len(rids) < args.requests or ex.has_work:
+            now = time.perf_counter() - start
+            while len(rids) < args.requests and t_arr[len(rids)] <= now:
+                rids.append(ex.submit(prompt_for(len(rids)),
+                                      max_new_tokens=args.gen))
+            if ex.has_work:
+                produced = ex.step_serving(args.burst, args.mixed_burst)
+                if (produced == 0 and ex.queue and not ex.prefilling
+                        and ex.num_active == 0):
+                    raise RuntimeError("stalled: KV pool too small for "
+                                       "the next queued request")
+            elif len(rids) < args.requests:
+                time.sleep(min(0.002, t_arr[len(rids)] - now))
+        done = ex.finished
+        wall = time.time() - t0
+        gen_total = sum(len(done[r].generated) for r in rids)
+        ttfts = sorted(done[r].first_token_time - done[r].submit_time
+                       for r in rids)
+        print(json.dumps({
+            "requests": args.requests, "prompt": args.prompt,
+            "gen": args.gen, "burst": args.burst,
+            "mixed_burst": args.mixed_burst,
+            "arrival_rate": args.arrival_rate, "layers": args.layers,
+            "wall_s": round(wall, 1),
+            "gen_tok_s": round(gen_total / wall, 1),
+            "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
+            "ttft_p99_s": round(ttfts[-1], 2),
+        }), flush=True)
+        return
 
     t0 = time.time()
     rids = [ex.submit(prompt_for(i), max_new_tokens=args.gen)
