@@ -47,6 +47,19 @@ from .sampler import (BW_PAD, SamplingConfig, SamplingParams, batch_params,
 HISTORY_W = 64   # repetition-penalty window (recent tokens per lane)
 
 
+def pow2_ceil(n: int) -> int:
+    """Smallest power of two >= n (n >= 1 -> 1, 2, 4, ...; n <= 0 -> 1).
+    Program-shape bucketing: every dynamic extent (burst length, lane
+    count, bad-word count, draft bucket) rounds to a pow2 so the set of
+    compiled XLA programs stays logarithmic in the extent."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
+def pow2_floor(n: int) -> int:
+    """Largest power of two <= n (n must be >= 1)."""
+    return 1 << (n.bit_length() - 1)
+
+
 class QueueFullError(RuntimeError):
     """submit() backpressure when the queue is at max_queue_size
     (reference executor.pyi ExecutorConfig.max_queue_size)."""
@@ -654,7 +667,7 @@ class Executor:
         seqs = [r.sequence if r is not None else [0]
                 for r in self.slots]
         smax = max(len(s) - 1 for s in seqs)
-        bucket = max(8, 1 << (smax - 1).bit_length())
+        bucket = max(8, pow2_ceil(smax))
         toks = np.zeros((b, bucket), np.int32)
         lens = np.ones((b,), np.int32)
         for i, s in enumerate(seqs):
@@ -980,7 +993,7 @@ class Executor:
         words = [r.bad_words for r in reqs if r is not None and r.bad_words]
         if not words:
             return None
-        n = 1 << (max(len(w) for w in words) - 1).bit_length()
+        n = pow2_ceil(max(len(w) for w in words))
         lmax = max(2, max(len(t) for w in words for t in w))
         out = np.full((len(reqs), n, lmax), BW_PAD, np.int32)
         for i, r in enumerate(reqs):
@@ -1020,7 +1033,7 @@ class Executor:
         # covering the lanes actually prefilling (a trickle arrival or an
         # admission drain with 1 lane shouldn't pay prefill_lanes-wide
         # compute — 4x the FLOPs for the same tokens at the default 4)
-        p = min(self.prefill_lanes, 1 << max(len(lanes) - 1, 0).bit_length())
+        p = min(self.prefill_lanes, pow2_ceil(len(lanes)))
         rem = max(len(r.prompt) - r.prefill_pos for r in lanes)
         c_eff = self.block_size
         while c_eff < min(rem, chunk):
@@ -1224,9 +1237,15 @@ class Executor:
         self._admit()
         produced_before = sum(len(r.generated) for r in self.slots
                               if r is not None)
+        n_fin_before = len(self.finished)
         self._step_prefill()
-        produced_prefill = sum(len(r.generated) for r in self.slots
-                               if r is not None) - produced_before
+        # a request that FINISHES on its prefill-completion step (e.g.
+        # max_new_tokens=1) leaves self.slots inside _append_token, so a
+        # before/after sum over slots would count its one token as zero
+        # progress and trip run()'s stall check
+        produced_prefill = (sum(len(r.generated) for r in self.slots
+                                if r is not None) - produced_before
+                            + (len(self.finished) - n_fin_before))
         self._secure_pages(1)   # may preempt under KV pressure
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
@@ -1369,31 +1388,43 @@ class Executor:
         the prefilling set, so a drain admission mid-serving hits the
         1/2-lane variants)."""
         assert not self.has_work, "warmup() on an idle executor only"
-        budget = burst + 1 if burst <= 1 else 2 * burst
-        n = prompt_len or min(self.prefill_chunk, self.max_seq_len // 2)
-        n = min(n, self.max_seq_len - budget - 2)
-        rid = self.submit([1] * max(n, 1), max_new_tokens=budget)
-        self.run(burst=burst)
-        self.finished.pop(rid, None)
-        # every pow2 rung below burst: the batch tail's ceiling bursts and
-        # the mixed-phase (prefill-overlapped) bursts hit k in
-        # {2, 4, ..., burst/2}, and each is its own XLA program
-        k = burst // 2
-        while k >= 2:
-            # budget k+1: the prefill emits one token, leaving exactly k
-            # of budget so run() takes one full k-burst
-            rid = self.submit([1] * max(n, 1), max_new_tokens=k + 1)
-            self.run(burst=k)
+        # warmup's own dummy submissions must not trip the admission
+        # backpressure meant for client traffic (the lane passes submit
+        # several at once)
+        mqs, self.max_queue_size = self.max_queue_size, 0
+        try:
+            budget = burst + 1 if burst <= 1 else 2 * burst
+            n = prompt_len or min(self.prefill_chunk, self.max_seq_len // 2)
+            n = min(n, self.max_seq_len - budget - 2)
+            rid = self.submit([1] * max(n, 1), max_new_tokens=budget)
+            self.run(burst=burst)
             self.finished.pop(rid, None)
-            k //= 2
-        c = 2
-        while c <= self.prefill_lanes and c <= self.max_batch:
-            rids = [self.submit([1] * max(n, 1), max_new_tokens=1)
-                    for _ in range(c)]
-            self.run()
-            for r in rids:
-                self.finished.pop(r, None)
-            c *= 2
+            # every pow2 rung below burst: the batch tail's ceiling bursts
+            # and the mixed-phase (prefill-overlapped) bursts hit k in
+            # {2, 4, ..., burst/2}, and each is its own XLA program
+            k = burst // 2
+            while k >= 2:
+                # budget k+1: the prefill emits one token, leaving exactly
+                # k of budget so run() takes one full k-burst
+                rid = self.submit([1] * max(n, 1), max_new_tokens=k + 1)
+                self.run(burst=k)
+                self.finished.pop(rid, None)
+                k //= 2
+            # lane-count variants _step_prefill can produce: pow2s, plus
+            # prefill_lanes itself when it is not a power of two (p is
+            # capped there, so e.g. lanes=3 runs a (3, chunk) program)
+            cs = [c for c in (2, 4, 8, 16, 32, 64)
+                  if c < self.prefill_lanes] + [self.prefill_lanes]
+            for c in cs:
+                if c < 2 or c > self.max_batch:
+                    continue
+                rids = [self.submit([1] * max(n, 1), max_new_tokens=1)
+                        for _ in range(c)]
+                self.run()
+                for r in rids:
+                    self.finished.pop(r, None)
+        finally:
+            self.max_queue_size = mqs
 
     def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0,
                   burst: int = 16) -> Dict[int, Request]:
@@ -1453,10 +1484,10 @@ class Executor:
         rem = min(r.max_new_tokens - len(r.generated) for r in lanes)
         if rem >= burst:
             return burst
-        k = min(1 << max(rem - 1, 0).bit_length(), burst)
+        k = min(pow2_ceil(rem), burst)
         cap = self.max_seq_len - max(len(r.sequence) for r in lanes)
         if k > cap:
-            k = 1 << (max(rem, 1).bit_length() - 1)
+            k = pow2_floor(max(rem, 1))
         return k
 
     def run(self, burst: int = 1, mixed_burst: int = 1) -> Dict[int, Request]:
@@ -1509,7 +1540,9 @@ class Executor:
                 # lanes behind it on device
                 self._admit()
                 self._step_prefill()
-                k = min(self._burst_k(burst), mixed_burst)
+                # floor to a pow2: a non-pow2 mixed_burst would compile
+                # its own (unwarmed) burst program
+                k = min(self._burst_k(burst), pow2_floor(mixed_burst))
                 produced = self.step_burst(k) if k > 1 else 0
                 if produced:
                     return produced

@@ -329,3 +329,44 @@ def test_kv_cache_stats(quantized_model):
     assert mid["used_num_blocks"] + mid["free_num_blocks"] == 15
     ex.run()
     assert ex.get_kv_cache_stats() == s0         # all pages returned
+
+
+def test_warmup_under_queue_backpressure(quantized_model):
+    """warmup()'s multi-request lane passes must not trip max_queue_size
+    (admission backpressure is for client traffic, not warm dummies)."""
+    params, cfg = quantized_model
+    ex = Executor(params, cfg, max_batch=4, max_seq_len=32, block_size=8,
+                  prefill_chunk=8, prefill_lanes=4, max_queue_size=2)
+    ex.warmup(burst=4)
+    assert ex.max_queue_size == 2       # restored afterwards
+    assert not ex.finished and ex.num_active == 0
+
+
+def test_gen1_wave_does_not_false_stall(quantized_model):
+    """A prefill wave whose requests finish on their first token
+    (max_new_tokens=1) counts as progress: more queued requests than
+    prefill lanes must not raise the stall error."""
+    params, cfg = quantized_model
+    ex = Executor(params, cfg, max_batch=4, max_seq_len=32, block_size=8,
+                  prefill_chunk=8, prefill_lanes=2, seed=0)
+    rids = [ex.submit([1 + i, 2, 3], max_new_tokens=1) for i in range(6)]
+    done = ex.run()
+    assert all(len(done[r].generated) == 1 for r in rids)
+
+
+def test_nonpow2_prefill_lanes(quantized_model):
+    """prefill_lanes=3: the lane axis still runs (outputs equal the
+    lanes=4 executor) and warmup covers the full-lane program."""
+    params, cfg = quantized_model
+    prompts = [[3, 1, 4], [2] * 9, [7] * 5]
+
+    def run(lanes):
+        ex = Executor(params, cfg, max_batch=4, max_seq_len=32,
+                      block_size=8, prefill_chunk=8, prefill_lanes=lanes,
+                      seed=0)
+        ex.warmup(burst=2)
+        ids = [ex.submit(p, max_new_tokens=4) for p in prompts]
+        done = ex.run(burst=2)
+        return [done[r].generated for r in ids]
+
+    assert run(3) == run(4)

@@ -63,6 +63,9 @@ def main():
                          "in-flight prefill chunks (1 = single-step "
                          "whenever anything is prefilling)")
     args = ap.parse_args()
+    if args.arrival_rate > 0 and (args.beams or args.speculative):
+        ap.error("--arrival_rate drives greedy step_serving only "
+                 "(beam/speculative modes are drain-mode)")
 
     from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
     from mixq_tensorrt_llm_tpu.quant import (QuantAlgo, QuantConfig,
