@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--kv_heads", type=int, default=32,
                     help="GQA: 8 gives Llama-3-8B-like geometry — the KV "
                          "pool shrinks 4x, so deeper gen/batch fits")
+    ap.add_argument("--scheme", default="int8_mix",
+                    choices=["int8_mix", "int4_mix", "w4a16_g", "w8a16"],
+                    help="quantization scheme (int4 weights halve the "
+                         "decode weight stream vs int8)")
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--block_reuse", action="store_true",
                     help="shared-prompt workload through the prefix cache")
@@ -75,7 +79,7 @@ def main():
     cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
                       intermediate_size=11008, num_layers=args.layers,
                       num_heads=32, num_kv_heads=args.kv_heads, head_dim=128,
-                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                      quant=QuantConfig(algo=QuantAlgo(args.scheme),
                                         num_outliers=128,
                                         kv_cache=KVCacheQuantAlgo.INT8))
     t0 = time.time()
@@ -183,6 +187,7 @@ def main():
         print(json.dumps({
             "requests": args.requests, "prompt": args.prompt,
             "gen": args.gen, "burst": args.burst,
+            "scheme": args.scheme,
             "mixed_burst": args.mixed_burst,
             "arrival_rate": args.arrival_rate, "layers": args.layers,
             "wall_s": round(wall, 1),
@@ -219,7 +224,7 @@ def main():
                    for r in rids)
     print(json.dumps({
         "requests": args.requests, "prompt": args.prompt, "gen": args.gen,
-        "burst": args.burst, "layers": args.layers,
+        "burst": args.burst, "scheme": args.scheme, "layers": args.layers,
         "wall_s": round(wall, 1),
         "gen_tok_s": round(gen_total / wall, 1),
         "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
