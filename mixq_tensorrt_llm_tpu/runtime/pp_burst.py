@@ -60,7 +60,11 @@ def make_pp_decode_burst(cfg: ModelConfig, mesh, k_steps: int,
     ll = cfg.num_layers // pp
     pat = mcommon._pattern_period(cfg)
     assert pat == 1 or ll % pat == 0
-    kernels_ok = use_kernels and tp == 1
+    # pp x tp: stage bodies run the kernels per (stage, head-shard) via the
+    # nested tp shard_map (parallel/kernel_shard._resolve_mesh) — the same
+    # plane forward_paged_pp serves; tp stays auto for the linears/psums
+    kernels_ok = use_kernels and (tp == 1 or cfg.num_kv_heads % tp == 0)
+    stage_mesh = mesh if (kernels_ok and tp > 1) else None
     ticks = k_steps * pp + pp - 1
     rep = P()
 
@@ -100,7 +104,7 @@ def make_pp_decode_burst(cfg: ModelConfig, mesh, k_steps: int,
                         block_pos=bpos_g, window=win_tokens,
                         sink=sink_tokens, alibi=alibi, lora_ids=lora_g,
                         layer_window=cfg.layer_window(j),
-                        use_kernels=kernels_ok, mesh=None)
+                        use_kernels=kernels_ok, mesh=stage_mesh)
                     pools = nc
                 return (h, pools), None
 

@@ -64,12 +64,37 @@ def test_pp2_kernel_executor_matches_single(quant, monkeypatch):
     assert pkv.GATHER_TRACES[0] == 0
 
 
-def test_pp2_tp2_executor_matches_single():
-    cfg = ModelConfig(**BASE)
+@pytest.mark.parametrize("quant", ["none", "int8kv_mix"])
+def test_pp2_tp2_executor_kernel_plane(quant, monkeypatch):
+    """pp x tp stage bodies run the Pallas kernels per (stage, head-shard)
+    through the nested tp shard_map (r3 VERDICT missing #1) — output-equal
+    to single-device, with ZERO pool-materializing gathers."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    q = (QuantConfig() if quant == "none" else
+         QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=8,
+                     kv_cache=KVCacheQuantAlgo.INT8))
+    cfg = ModelConfig(**BASE, quant=q)
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+    want, _ = _run(cfg, params, None)
+
+    pkv.GATHER_TRACES[0] = 0
+    got, ex = _run(cfg, params, _mesh(pp=2, tp=2))
+    assert ex._use_kernels, "pp x tp must serve on the kernel plane"
+    assert got == want, (got, want)
+    assert pkv.GATHER_TRACES[0] == 0
+
+
+def test_pp2_tp_indivisible_falls_back(monkeypatch):
+    """tp not dividing num_kv_heads: the stage body must stay on the jnp
+    GSPMD plane (correctness-first fallback), still output-equal."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    cfg = ModelConfig(**dict(BASE, num_heads=3, num_kv_heads=3,
+                             hidden_size=48, intermediate_size=96))
     params = init_random_params(cfg, jax.random.PRNGKey(0))
     want, _ = _run(cfg, params, None)
     got, ex = _run(cfg, params, _mesh(pp=2, tp=2))
-    assert not ex._use_kernels   # tp>1 inside stages: auto/GSPMD plane
+    assert not ex._use_kernels
     assert got == want, (got, want)
 
 
@@ -86,14 +111,19 @@ def test_pp2_burst_and_window(monkeypatch):
     assert got == want, (got, want)
 
 
-def test_pp2_tp2_burst_matches_single():
-    """Circular-microbatch pp burst with the stage body auto-partitioned
-    over tp: outputs equal the single-device burst run."""
+def test_pp2_tp2_burst_matches_single(monkeypatch):
+    """Circular-microbatch pp burst with the stage body on the nested-tp
+    kernel plane: outputs equal the single-device burst run, 0 gathers."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
     cfg = ModelConfig(**BASE)
     params = init_random_params(cfg, jax.random.PRNGKey(0))
     want, _ = _run(cfg, params, None, burst=4)
-    got, _ = _run(cfg, params, _mesh(pp=2, tp=2), burst=4)
+    pkv.GATHER_TRACES[0] = 0
+    got, ex = _run(cfg, params, _mesh(pp=2, tp=2), burst=4)
+    assert ex._use_kernels
     assert got == want, (got, want)
+    assert pkv.GATHER_TRACES[0] == 0
 
 
 def test_pp_burst_sampling_controls(monkeypatch):
