@@ -372,6 +372,14 @@ class Executor:
         self._spec_fns = {}     # (id(draft_cfg), gamma) -> jitted fns
         self.iteration_stats: deque = deque(maxlen=1000)
         self._iter_id = 0
+        # no-compiles-after-warmup accounting (utils/compile_watch): the
+        # reference serves only precompiled programs; warmup() marks the
+        # compile counter and compiles_since_warmup pins that no serving
+        # shape slipped past the warmup enumeration (one miss = a 14-20 s
+        # TTFT on chip)
+        from ..utils import compile_watch
+        compile_watch.ensure_registered()
+        self._warm_compile_mark: Optional[int] = None
 
     # ------------------------------------------------------------------
     def _make_spec_fns(self, draft_cfg: ModelConfig, gamma: int,
@@ -1207,6 +1215,18 @@ class Executor:
         """Last n IterationStats (reference get_latest_iteration_stats)."""
         return list(self.iteration_stats)[-n:]
 
+    @property
+    def compiles_since_warmup(self) -> Optional[int]:
+        """XLA backend compilations since warmup() finished (None before
+        warmup). The engine contract (reference builder.py:785-986: serve
+        only precompiled programs) holds iff this stays 0 — a nonzero
+        value means a serving shape slipped past warmup's enumeration and
+        some request ate a cold compile."""
+        if self._warm_compile_mark is None:
+            return None
+        from ..utils import compile_watch
+        return compile_watch.compile_count() - self._warm_compile_mark
+
     def get_kv_cache_stats(self) -> dict:
         """Pool accounting (reference executor.pyi KvCacheStats:
         max/free/used block counts, tokens per block; plus the prefix
@@ -1427,6 +1447,8 @@ class Executor:
                     self.finished.pop(r, None)
         finally:
             self.max_queue_size = mqs
+            from ..utils import compile_watch
+            self._warm_compile_mark = compile_watch.compile_count()
 
     def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0,
                   burst: int = 16) -> Dict[int, Request]:

@@ -236,7 +236,11 @@ def make_handler(server: InferenceServer):
                     payload = {"status": "ok", "active": ex.num_active,
                                "queued": len(ex.queue),
                                "prefilling": len(ex.prefilling),
-                               "kv": ex.get_kv_cache_stats()}
+                               "kv": ex.get_kv_cache_stats(),
+                               # engine contract: 0 == no serving shape
+                               # slipped past warmup (null before warmup)
+                               "compiles_since_warmup":
+                                   ex.compiles_since_warmup}
                     if st:
                         dt = sum(x.step_time_s for x in st)
                         payload.update(

@@ -93,6 +93,49 @@ def main():
         print(f"tp={tp}: {results[tp]:.1f} tok/s", file=sys.stderr,
               flush=True)
 
+    # compile-time scaling evidence from the REAL compiles (r3 VERDICT
+    # next-round #8; the runtime numbers above are one-host): collective
+    # census + per-device argument bytes of the tp decode step. The >=85%
+    # scaling north star requires exactly 2 psums/layer (o_proj/down_proj,
+    # the reference's NCCL allreduce points), no weight all-gathers, and
+    # per-device bytes ~ 1/tp. tests/test_hlo_collectives.py pins these;
+    # here they are reported from this geometry's actual programs.
+    import functools
+    import jax.numpy as jnp
+    from mixq_tensorrt_llm_tpu.models import common as mcommon
+    from mixq_tensorrt_llm_tpu.parallel import sharding as psh
+    from mixq_tensorrt_llm_tpu.runtime import kv_cache as pkv
+
+    def hlo_facts(tp):
+        mesh = (None if tp == 1 else Mesh(np.array(devices[:tp]), ("tp",)))
+        p = params if mesh is None else psh.shard_params(params, mesh)
+        st = pkv.init_paged_kv(cfg, 16, 8)
+        if mesh is not None:
+            st = psh.shard_paged_state(st, mesh)
+        B, MB = args.batch, 8
+        tbl = jnp.zeros((B, MB), jnp.int32)
+        bp = jnp.zeros((B, MB), jnp.int32)
+        ln = jnp.full((B,), 9, jnp.int32)
+        tok = jnp.ones((B, 1), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode(p, tok, st, tbl, bp, ln):
+            return mcommon.forward_paged(
+                p, cfg, tok, ln[:, None].astype(jnp.int32), st, tbl,
+                ln + 1, block_pos=bp, use_kernels=True, mesh=mesh)
+
+        comp = decode.lower(p, tok, st, tbl, bp, ln).compile()
+        txt = comp.as_text()
+        lines = txt.splitlines()
+        n_ar = sum(1 for l in lines if " all-reduce(" in l and "=" in l)
+        n_ag = sum(1 for l in lines if " all-gather(" in l and "=" in l)
+        return {"all_reduce": n_ar, "all_gather": n_ag,
+                "arg_bytes_per_device":
+                    comp.memory_analysis().argument_size_in_bytes}
+
+    hlo = {str(tp): hlo_facts(tp) for tp in args.tp
+           if tp <= len(devices)}
+
     planes = results.pop("_plane", {})
     base_tp = min(results)
     out = {"tok_s": {str(k): round(v, 1) for k, v in results.items()},
@@ -100,6 +143,7 @@ def main():
                str(k): round(v / (results[base_tp] * (k / base_tp)), 3)
                for k, v in results.items()},
            "data_plane": {str(k): v for k, v in planes.items()},
+           "step_hlo": hlo,
            "note": ("virtual CPU mesh — functional validation only"
                     if args.cpu else "hardware mesh")}
     print(json.dumps(out))

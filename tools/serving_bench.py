@@ -194,6 +194,7 @@ def main():
             "gen_tok_s": round(gen_total / wall, 1),
             "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
             "ttft_p99_s": round(ttfts[-1], 2),
+            "compiles_since_warmup": ex.compiles_since_warmup,
         }), flush=True)
         return
 
@@ -235,6 +236,7 @@ def main():
         **({"prefix_cache_blocks": ex.bm.prefix_cache_size}
            if args.block_reuse else {}),
         **({"preemptions": ex.preemptions} if args.max_kv_tokens else {}),
+        "compiles_since_warmup": ex.compiles_since_warmup,
     }), flush=True)
 
 
