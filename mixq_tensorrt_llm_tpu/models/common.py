@@ -434,7 +434,8 @@ def _attention_with_cache(cfg: ModelConfig, q, new_k, new_v, layer_cache,
 
 def _attention_paged_tail(cfg: ModelConfig, q, new_k, new_v, layer_caches,
                           block_table, write_pos, prefix_len,
-                          block_pos=None, use_kernels: bool = True):
+                          block_pos=None, use_kernels: bool = True,
+                          mesh=None):
     """Decode attention for in-graph beam bursts (runtime/beam.py): the
     paged pool holds the PREFIX (read-only during the burst — beams share
     it copy-free, the paged analogue of reference beam-width block sharing
@@ -454,6 +455,22 @@ def _attention_paged_tail(cfg: ModelConfig, q, new_k, new_v, layer_caches,
     assert s == 1, "beam bursts decode one token per step"
     scale = cfg.attention_scale
     softcap = cfg.attn_logit_softcap
+
+    # multi-device beam bursts (r3 VERDICT missing #4): pool-prefix
+    # attention runs the stats-mode kernel per head shard; the dense tail
+    # and the online-softmax merge are head-local jnp, partitioned by
+    # GSPMD from the same head sharding
+    shard_tp = None
+    if mesh is not None and use_kernels:
+        from ..parallel import kernel_shard as kshard
+        if kshard.tp_size(mesh) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard_tp = mesh
+            hs = NamedSharding(kshard._resolve_mesh(mesh),
+                               P(None, None, "tp", None))
+            q = jax.lax.with_sharding_constraint(q, hs)
+            new_k = jax.lax.with_sharding_constraint(new_k, hs)
+            new_v = jax.lax.with_sharding_constraint(new_v, hs)
     pools = {n: v for n, v in layer_caches.items()
              if not n.startswith("tail")}
     tail = {n[5:]: layer_caches[n] for n in layer_caches
@@ -490,10 +507,16 @@ def _attention_paged_tail(cfg: ModelConfig, q, new_k, new_v, layer_caches,
             block_pos = jnp.broadcast_to(
                 jnp.arange(mb, dtype=jnp.int32)[None, :] * bs_blk,
                 block_table.shape)
-        out_p, m_p, l_p = paged_decode_attention(
-            q[:, 0], pools["k"], pools["v"], pools.get("k_scale"),
-            pools.get("v_scale"), block_table, prefix_len, scale=scale,
-            block_pos=block_pos, softcap=softcap, stats=True)
+        if shard_tp is not None:
+            from ..parallel import kernel_shard as kshard
+            out_p, m_p, l_p = kshard.decode_attention_stats(
+                shard_tp, q[:, 0], pools, block_table, prefix_len,
+                scale=scale, block_pos=block_pos, softcap=softcap)
+        else:
+            out_p, m_p, l_p = paged_decode_attention(
+                q[:, 0], pools["k"], pools["v"], pools.get("k_scale"),
+                pools.get("v_scale"), block_table, prefix_len, scale=scale,
+                block_pos=block_pos, softcap=softcap, stats=True)
         out_p = out_p[:, None]                           # (B, 1, Hq, D) f32
         m_p, l_p = m_p[:, :, None], l_p[:, :, None]      # (B, Hq, 1)
     else:
@@ -558,7 +581,7 @@ def _attention_paged(cfg: ModelConfig, q, new_k, new_v, layer_caches,
         return _attention_paged_tail(
             cfg, q, new_k, new_v, layer_caches, block_table, write_pos,
             kv_valid_len, block_pos=block_pos,
-            use_kernels=use_kernels)
+            use_kernels=use_kernels, mesh=mesh)
 
     if window == 0:
         # runtime StreamingLLM window (if any) takes precedence; otherwise

@@ -103,6 +103,31 @@ def decode_attention(mesh: Mesh, q, pools: dict, block_table, lens, *,
     )(q, pools, block_table, lens, block_pos)
 
 
+def decode_attention_stats(mesh: Mesh, q, pools: dict, block_table, lens,
+                           *, scale: float, block_pos, softcap: float):
+    """paged_decode_attention in STATS mode per head shard (the beam
+    burst's read-only pool prefix): returns (out (B,Hq,D) f32, m (B,Hq),
+    l (B,Hq)), all sharded on the head axis — the online-softmax merge
+    with the dense tail stats is head-local, so it composes under GSPMD
+    outside."""
+    from ..ops.paged_attention import paged_decode_attention
+    quantized = "k_scale" in pools
+
+    def body(q, pools, bt, ln, bp):
+        return paged_decode_attention(
+            q, pools["k"], pools["v"], pools.get("k_scale"),
+            pools.get("v_scale"), bt, ln, scale=scale, block_pos=bp,
+            softcap=softcap, stats=True)
+
+    return shard_map(
+        body, mesh=_resolve_mesh(mesh),
+        in_specs=(P(None, "tp", None), _pool_specs(quantized), _REP, _REP,
+                  _REP),
+        out_specs=(P(None, "tp", None), P(None, "tp"), P(None, "tp")),
+        check_vma=False,
+    )(q, pools, block_table, lens, block_pos)
+
+
 def verify_attention(mesh: Mesh, q, pools: dict, block_table, lens, qstart,
                      *, scale: float, block_pos, window: int, sink: int,
                      softcap: float):

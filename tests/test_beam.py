@@ -92,3 +92,37 @@ def test_executor_run_beams_matches_direct():
     ex2.submit([1, 2], max_new_tokens=5)
     with pytest.raises(AssertionError, match="uniform"):
         ex2.run_beams()
+
+
+def test_beams_under_tp_mesh(monkeypatch):
+    """Multi-device beam search (r3 VERDICT missing #4): a tp=2 mesh runs
+    the full beam engine — prefill, bursts, in-graph reorder, COW+flush —
+    with the pool prefix on the stats-mode kernel plane, output-equal to
+    single-device and with zero pool-materializing gathers."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+    from mixq_tensorrt_llm_tpu.runtime import kv_cache as pkv
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      head_dim=16, max_position_embeddings=128)
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1]]
+
+    def run(mesh, burst):
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=48,
+                      block_size=8, mesh=mesh)
+        ids = [ex.submit(p, max_new_tokens=6) for p in prompts]
+        done = ex.run_beams(num_beams=3, burst=burst)
+        return [done[r].generated for r in ids]
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    for burst in (1, 4):
+        want = run(None, burst)
+        pkv.GATHER_TRACES[0] = 0
+        got = run(mesh, burst)
+        assert got == want, (burst, got, want)
+        assert pkv.GATHER_TRACES[0] == 0
