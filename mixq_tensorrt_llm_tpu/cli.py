@@ -295,10 +295,25 @@ def _add_serve(sub):
                    help="decode in compiled k-step bursts (throughput "
                         "lever on high-RTT hosts; streaming flushes per "
                         "burst instead of per token)")
+    p.add_argument("--cache_dir", default=None,
+                   help="persistent XLA compilation cache directory — the "
+                        "deploy flow's engine equivalent (reference: "
+                        "serialized TRT engine + timing cache, "
+                        "builder.py:601-651). First start with --warmup "
+                        "compiles and PERSISTS every serving program; "
+                        "subsequent starts load them (~1 s/program instead "
+                        "of ~20 s compile; measured startup table in "
+                        "docs/PERF.md)")
     return p
 
 
 def _cmd_serve(args):
+    if args.cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        # persist even fast-compiling programs: a serve startup touches
+        # dozens of small prefill/burst variants whose compiles add up
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from .api import LLM
     from .serve import run_server
 

@@ -1182,7 +1182,7 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                   kv_valid_len: jax.Array, block_pos=None,
                   window: int = 0, sink: int = 0,
                   outlier_state: Optional[Dict] = None, lora_ids=None,
-                  use_kernels: bool = True, mesh=None):
+                  use_kernels: bool = True, mesh=None, last_pos=None):
     """Decoder forward over the paged KV pool (continuous-batching path).
 
     Multi-device data planes: with `mesh` given (a Mesh whose 'tp' axis
@@ -1208,6 +1208,13 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
     block_pos:   (B, max_blocks_per_seq) absolute base positions (None =
                  identity layout; required once blocks recycle)
     window/sink: StreamingLLM runtime window in tokens (0 = model default)
+    last_pos:    optional (B,) per-lane CHUNK-RELATIVE index: the lm_head
+                 runs on that single position only, returning (B, 1, V)
+                 logits. Prefill callers that only sample the last
+                 position should pass it — the full-chunk head is
+                 vocab x chunk FLOPs and a (B, C, V) f32 transient
+                 (~0.3 s + 512 MB per 16x256 chunk at 7B) for values
+                 they immediately discard.
     Returns (logits, updated PagedKVState).
     """
     if cfg.arch in ("mamba", "recurrentgemma"):
@@ -1220,7 +1227,7 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
                                 block_pos=block_pos, window=window,
                                 sink=sink, outlier_state=outlier_state,
                                 lora_ids=lora_ids,
-                                use_kernels=use_kernels)
+                                use_kernels=use_kernels, last_pos=last_pos)
     from ..runtime.kv_cache import PagedKVState
     from ..quant import dynamic as qdyn
 
@@ -1266,6 +1273,10 @@ def forward_paged(params: Dict, cfg: ModelConfig, tokens: jax.Array,
              num_layers // p, p) if p > 1
          else jnp.arange(num_layers, dtype=jnp.int32)))
     new_ostate = _ungroup(new_ostate, p)
+    if last_pos is not None:
+        x = jnp.take_along_axis(
+            x, jnp.clip(last_pos, 0, x.shape[1] - 1)[:, None, None]
+            .astype(jnp.int32), axis=1)                     # (B, 1, H)
     logits = _head(params, cfg, x)
     new_state = PagedKVState(
         k=pools["k"], v=pools["v"],
@@ -1281,7 +1292,7 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
                      block_table: jax.Array, kv_valid_len: jax.Array,
                      block_pos=None, window: int = 0, sink: int = 0,
                      outlier_state: Optional[Dict] = None, lora_ids=None,
-                     use_kernels: bool = True):
+                     use_kernels: bool = True, last_pos=None):
     """Pipeline-parallel paged decoder forward (70B-class serving).
 
     The reference serves Qwen2-72B at pp > 1: per-stage engines with NCCL
@@ -1347,8 +1358,10 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
     pool_specs = {k: P("pp") for k in pools}
     rep = P()
 
+    use_lastp = last_pos is not None
+
     def run(lp_local, other_p, pools, ostate_l, tokens, wp, table, lens,
-            lora, bpos):
+            lora, bpos, lastp):
         rank = jax.lax.axis_index("pp")
         ring = [(i, (i + 1) % pp) for i in range(pp)]
         x = _embed(other_p, cfg, tokens, wp)
@@ -1397,6 +1410,10 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
                 lambda n, o: jnp.where(rank == t, n, o), os_new, ostate_l)
             if t < pp - 1:
                 h = jax.lax.ppermute(h, "pp", ring)
+        if use_lastp:
+            h = jnp.take_along_axis(
+                h, jnp.clip(lastp, 0, h.shape[1] - 1)[:, None, None]
+                .astype(jnp.int32), axis=1)                 # (B, 1, H)
         logits = _head(other_p, cfg, h)
         logits = jax.lax.psum(
             jnp.where(rank == pp - 1, logits, jnp.zeros_like(logits)), "pp")
@@ -1412,15 +1429,17 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
     run_sm = jax.shard_map(
         run, mesh=mesh,
         in_specs=(layer_specs, other_specs, pool_specs, ostate_specs, rep,
-                  rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep),
         out_specs=(rep, pool_specs, ostate_specs),
         axis_names=frozenset({"pp"}),
         check_vma=False)
     lora = (lora_ids if lora_ids is not None
             else jnp.zeros((tokens.shape[0],), jnp.int32))
+    lastp = (last_pos if last_pos is not None
+             else jnp.zeros((tokens.shape[0],), jnp.int32))
     logits, pools, new_ostate = run_sm(
         layer_params, other, pools, ostate, tokens, write_pos,
-        block_table, kv_valid_len, lora, block_pos)
+        block_table, kv_valid_len, lora, block_pos, lastp)
     new_state = PagedKVState(
         k=pools["k"], v=pools["v"],
         k_scale=pools.get("k_scale"), v_scale=pools.get("v_scale"))

@@ -227,13 +227,17 @@ def paged_beam_search(params, cfg: ModelConfig,
     # each spare page costs 34 MB across the layer stack, and the margin
     # alone (2.1 GB at 16x4 lanes) pushed the pool past HBM.
     cow_margin = 0 if all(ln % block_size == 0 for ln in lens_list) else 1
-    per_lane = (-(-(max_prompt + max_new_tokens + 1) // block_size)
+    # burst slack: the pow2-ceiling FINAL burst may write up to burst-1
+    # positions past max_new (discarded host-side); usually absorbed by
+    # the same page (ceil), so this rarely costs a block
+    slack = burst if burst > 1 else 1
+    per_lane = (-(-(max_prompt + max_new_tokens + slack) // block_size)
                 - max_prompt // block_size + cow_margin)
     bm = pkv.BlockManager(
         num_blocks=1 + b * (-(-max_prompt // block_size))
         + b * k * per_lane,
         block_size=block_size)
-    mb = -(-(max_prompt + max_new_tokens + 1) // block_size)
+    mb = -(-(max_prompt + max_new_tokens + slack) // block_size)
     state = pkv.init_paged_kv(cfg, bm.num_blocks, block_size)
     if mesh is not None:
         from ..parallel import sharding as psh
@@ -258,10 +262,12 @@ def paged_beam_search(params, cfg: ModelConfig,
     table_p = jnp.asarray(bm.block_table(prefill_ids, mb))
     pos = jnp.tile(jnp.arange(max_prompt, dtype=jnp.int32), (b, 1))
 
-    # prefill in chunks (executor-style): a single full-prompt call
-    # materializes (B, S, vocab) f32 logits — 1+ GB transient at 7B/512
-    # that pushed the beam pool + weights over HBM on chip
-    chunk = min(256, max_prompt)
+    # prefill in chunks (executor-style). The old 256 cap existed because
+    # a full-prompt call materialized (B, S, vocab) f32 logits (1+ GB at
+    # 7B/512); the last_pos head slice killed that transient, so chunks
+    # are now bounded only by activation memory — 512 halves the dispatch
+    # count at the bench shape
+    chunk = min(512, max_prompt)
     if max_prompt % chunk:
         chunk = max_prompt   # ragged tail: single call (small prompts)
 
@@ -270,12 +276,11 @@ def paged_beam_search(params, cfg: ModelConfig,
         c = tokens_c.shape[1]
         pos_c = start + jnp.arange(c, dtype=jnp.int32)[None, :]
         valid = jnp.minimum(lens, start[:, 0] + c)
+        idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
         logits, state = mcommon.forward_paged(
             params, cfg, tokens_c, pos_c, state, table, valid,
-            use_kernels=use_k_mesh, mesh=mesh)
-        idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
-        last = jnp.take_along_axis(
-            logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            use_kernels=use_k_mesh, mesh=mesh, last_pos=idx)
+        last = logits[:, 0]
         hit = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
         logp = jnp.where(hit[:, None],
                          jax.nn.log_softmax(last, axis=-1), logp)
@@ -549,12 +554,14 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
             if eos >= 0:
                 fin = fin | (token == eos)
             return ((token.reshape(n_lanes), tails, tidx + 1, table,
-                     lane_ids, new_scores, fin), (parent, token))
+                     lane_ids, new_scores, fin), (parent, token,
+                                                  new_scores))
 
         lane_ids0 = jnp.arange(n_lanes, dtype=jnp.int32)
         carry0 = (cur0, tails0, jnp.int32(0), table0, lane_ids0, scores0,
                   fin0)
-        (cur, tails, _, table, lane_ids, scores, fin), (parents, tokens) \
+        (cur, tails, _, table, lane_ids, scores, fin), \
+            (parents, tokens, scores_steps) \
             = jax.lax.scan(step, carry0, None, length=k_eff)
 
         lrows = jnp.arange(nl, dtype=jnp.int32)[:, None] * nb
@@ -576,7 +583,7 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                 + flush_blk[None])                           # (L, N, k)
         offs = jnp.broadcast_to(flush_off[None], rows.shape)
         pools = _flush_tail(pools, tails, rows, offs)
-        return cur, scores, fin, parents, tokens, pools
+        return cur, scores_steps, fin, parents, tokens, pools
 
     _BURST_FNS[key] = burst
     return burst
@@ -651,8 +658,18 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
     steps_left = max_new_tokens - 1
 
     while steps_left > 0 and not finished.all():
-        k_eff = min(burst, steps_left)
-        k_eff = 1 << (k_eff.bit_length() - 1)   # pow2: O(log) programs
+        # pow2-CEILING final burst with host-side overshoot discard, like
+        # the executor's _burst_k: the old descending ladder (8/4/2/1
+        # rungs after the k=16 bursts) paid fixed ~130-160 ms dispatch+
+        # sync per rung — measured 992 ms for the last 15 steps vs ~620
+        # for a full 16-step burst. Overshot steps cost one discarded
+        # step of device work each and write pool positions inside the
+        # burst-slack the pool is sized for.
+        if steps_left >= burst:
+            k_eff = burst
+        else:
+            k_eff = min(1 << (steps_left - 1).bit_length(), burst)
+        real = min(k_eff, steps_left)
         t0 = _time.perf_counter()
 
         # --- host prealloc: this burst's write pages ------------------
@@ -700,7 +717,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         bpos = jnp.asarray(bm.block_pos(all_lanes, mb))
         _mark("host prealloc", t0)
         t0 = _time.perf_counter()
-        cur_j, new_scores, fin, parents, tokens, pools = burst_fn(
+        cur_j, scores_steps, fin, parents, tokens, pools = burst_fn(
             params, pools, table, bpos, jnp.asarray(cur, jnp.int32),
             jnp.asarray(cur_lens, jnp.int32), beam_scores,
             jnp.asarray(finished), jnp.asarray(cow_src_own),
@@ -709,7 +726,6 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         parents_np = np.asarray(parents)      # (k_eff, B, K)
         tokens_np = np.asarray(tokens)
         _mark(f"burst+commit k={k_eff} (device)", t0, sync=tokens)
-        beam_scores = new_scores
         t0 = _time.perf_counter()
 
         # fold the steps host-side, stopping exactly where the per-step
@@ -717,7 +733,8 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         # length normalization in _backtrack sees the same gen_len
         anc = np.tile(np.arange(k), (b, 1))
         done_early = False
-        for t in range(k_eff):
+        folded = 0
+        for t in range(real):
             if finished.all():
                 done_early = True
                 break
@@ -728,7 +745,13 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                 finished |= tokens_np[t] == eos
             beam_parents.append(p_t)
             beam_tokens.append(tokens_np[t].reshape(n_lanes))
-        if done_early or finished.all():
+            folded = t + 1
+        # scores AT the last folded step (the per-step path's stopping
+        # point): overshot/ post-finish steps must not leak score
+        # accumulation into the length-normalized ranking
+        beam_scores = jnp.asarray(scores_steps[folded - 1])
+        steps_left -= real
+        if done_early or finished.all() or steps_left <= 0:
             break   # no more KV needed; skip surgery
 
         # block-LIST surgery once per burst (control plane only — the
@@ -767,6 +790,5 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
 
         cur = tokens_np[-1].reshape(n_lanes)
         cur_lens = cur_lens + k_eff
-        steps_left -= k_eff
 
     return beam_scores, finished, peak_blocks

@@ -287,16 +287,18 @@ class Executor:
             first tokens (used only for lanes whose prefill completes)."""
             c = tokens.shape[1]
             pos = start[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            # last_pos: the lm_head runs on each lane's last valid chunk
+            # position only — the full-chunk head is vocab x chunk FLOPs
+            # plus a (P, C, V) f32 transient for logits prefill discards
             res = mcommon.forward_paged(
                 params, cfg_s, tokens, pos, state, block_table, length,
                 block_pos=block_pos, window=win_tokens, sink=sink_tokens,
                 outlier_state=ostate, lora_ids=lora_ids, use_kernels=use_k,
-                mesh=kmesh)
+                mesh=kmesh,
+                last_pos=jnp.clip(length - start - 1, 0, c - 1))
             logits, state = res[0], res[1]
             new_ostate = res[2] if ostate else None
-            last = jnp.take_along_axis(
-                logits, jnp.clip(length - start - 1, 0, c - 1)[:, None, None],
-                axis=1)[:, 0]
+            last = logits[:, 0]
             if proc_masks is not None:
                 last = apply_procs(last, history, proc_masks)
             tok = sample_batched(last, key, samp, history=history,

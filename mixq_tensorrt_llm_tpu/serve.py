@@ -50,8 +50,19 @@ class InferenceServer:
         if warmup:
             # compile prefill/decode before accepting traffic so the
             # first request sees steady-state latency (with burst > 1:
-            # every pow2 burst rung and prefill lane variant too)
+            # every pow2 burst rung and prefill lane variant too). With a
+            # persistent cache (cli serve --cache_dir) the second start
+            # LOADS instead of compiling — the printed compiles/loads
+            # split shows which happened (the deploy-flow signal)
+            from .utils import compile_watch
+            t0 = time.time()
+            c0 = compile_watch.compile_count()
+            h0 = compile_watch.cache_hit_count()
             self.executor.warmup(burst=burst)
+            print(f"[serve] warmup {time.time()-t0:.1f}s: "
+                  f"{compile_watch.compile_count()-c0} compiled, "
+                  f"{compile_watch.cache_hit_count()-h0} loaded from "
+                  f"cache", flush=True)
         # crash-resume: reload pending work from a previous process's
         # snapshot and keep snapshotting while work is in flight
         # (Executor.snapshot/restore; results of resumed requests land in

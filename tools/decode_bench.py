@@ -33,8 +33,15 @@ def main():
                     help="unquantized baseline instead of int8_mix")
     ap.add_argument("--int4", action="store_true",
                     help="int4_mix weights (packed in-kernel unpack)")
+    ap.add_argument("--w4a16", action="store_true",
+                    help="weight-only int4, per-out-channel scales")
     ap.add_argument("--w4a16_g", action="store_true",
                     help="group-wise int4 weights (grouped packed kernel)")
+    ap.add_argument("--geometry", default="7b", choices=["7b", "13b"],
+                    help="model geometry; 13b is the BASELINE.md "
+                         "'Llama-2-13B W4A16 decode path' config — int4 "
+                         "weights (~6.5 GB) fit this 16 GB chip at full "
+                         "depth where bf16 (24 GB) cannot run at all")
     ap.add_argument("--kv_splits", type=int, default=0,
                     help="flash-decoding page split factor (reference "
                          "--multi_block_mode); 0 = serial page scan")
@@ -54,16 +61,24 @@ def main():
     elif args.w4a16_g:
         quant = QuantConfig(algo=QuantAlgo.W4A16_G,
                             kv_cache=KVCacheQuantAlgo.INT8)
+    elif args.w4a16:
+        quant = QuantConfig(algo=QuantAlgo.W4A16,
+                            kv_cache=KVCacheQuantAlgo.INT8)
     elif args.int4:
         quant = QuantConfig(algo=QuantAlgo.INT4_MIX, num_outliers=128,
                             kv_cache=KVCacheQuantAlgo.INT8)
     else:
         quant = QuantConfig(algo=QuantAlgo.INT8_MIX, num_outliers=128,
                             kv_cache=KVCacheQuantAlgo.INT8)
-    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                      intermediate_size=11008, num_layers=args.layers,
-                      num_heads=32, num_kv_heads=32, head_dim=128,
-                      quant=quant)
+    geo = (dict(hidden_size=4096, intermediate_size=11008, num_heads=32,
+                full_layers=32)
+           if args.geometry == "7b" else
+           dict(hidden_size=5120, intermediate_size=13824, num_heads=40,
+                full_layers=40))
+    full_layers = geo.pop("full_layers")
+    cfg = ModelConfig(vocab_size=32000, num_layers=args.layers,
+                      num_kv_heads=geo["num_heads"], head_dim=128,
+                      quant=quant, **geo)
     params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
 
     block_size = 128
@@ -121,12 +136,14 @@ def main():
         t_hi = min(t_hi, time.perf_counter() - t0)
     best = (t_hi - t_lo) / (3 * iters)
 
-    scale = 32 / args.layers
+    scale = full_layers / args.layers
     step_ms = best * 1e3 * scale
     tok_s = args.bs / (best * scale)
     mode = ("bf16" if args.bf16 else
             "w4a16_g+int8kv" if args.w4a16_g else
+            "w4a16+int8kv" if args.w4a16 else
             "int4_mix+int8kv" if args.int4 else "int8_mix+int8kv")
+    mode = f"{args.geometry}/{mode}"
     if args.kv_splits:
         mode += f"+kvsplit{args.kv_splits}"
     print(f"decode {mode} bs={args.bs} ctx={args.ctx} "
