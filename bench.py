@@ -274,6 +274,23 @@ def main():
                     (64 / t64) / (d_bs / t_db), 3)
             except Exception as e:
                 log(f"[bench] bs=64 decode failed: {e!r}")
+            # int4 row (BASELINE's named W4A16 decode config, measured at
+            # 7B geometry full depth; 13B-geometry rows live in
+            # tools/decode_bench.py --geometry 13b): int4 halves the int8
+            # weight stream, the decode bottleneck
+            try:
+                w4 = QuantConfig(algo=QuantAlgo.W4A16,
+                                 kv_cache=KVCacheQuantAlgo.INT8)
+                log(f"[bench] decode w4a16+int8kv bs={d_bs} ctx={d_ctx} "
+                    f"(full {cfg_kw['num_layers']} layers)")
+                t4 = measure_decode(cfg_kw, w4, d_bs, d_ctx,
+                                    cfg_kw["num_layers"], d_iters)
+                log(f"[bench] decode w4a16: {t4 * 1e3:.2f} ms/step -> "
+                    f"{d_bs / t4:,.0f} tok/s")
+                extra["decode_w4a16_tok_s"] = round(d_bs / t4, 1)
+                extra["decode_w4a16_vs_int8"] = round(t_d / t4, 3)
+            except Exception as e:
+                log(f"[bench] w4a16 decode failed: {e!r}")
         except Exception as e:   # decode extras must not sink the headline
             log(f"[bench] decode measurement failed: {e!r}")
 

@@ -191,9 +191,20 @@ def quantize_linear_params(w: jax.Array, algo: QuantAlgo,
                            act_scale: Optional[jax.Array] = None,
                            num_outliers: int = 128,
                            bias: Optional[jax.Array] = None,
-                           pack: bool = False,
+                           pack: Optional[bool] = None,
                            group_size: int = 128) -> dict:
-    """Build the params dict for one linear from a float weight (in, out)."""
+    """Build the params dict for one linear from a float weight (in, out).
+
+    pack: store int4 weights two-per-byte (quant.core.pack_int4). Default
+    ON for int4 algos with an even in-dim — int4's entire capacity story
+    (the BASELINE Llama-2-13B W4A16 config: ~6.5 GB weights on a 16 GB
+    chip) depends on it, and every consumer handles the packed form (the
+    packed Pallas decode kernels read nibbles in VMEM; other regimes
+    unpack in-graph, a fused transient). pack=False keeps the int8
+    container (debug/interop).
+    """
+    if pack is None:
+        pack = w.shape[0] % 2 == 0
     out: dict = {}
     if algo == QuantAlgo.NONE:
         out["w"] = w.astype(jnp.bfloat16)

@@ -98,8 +98,15 @@ def main():
 
     iters = args.iters
 
+    import functools
+
     def build_run(n):
-        @jax.jit
+        # donate the pools: without it the fori_loop carry forces XLA to
+        # copy both KV pools as program temps — ~5 GB at 7B full depth,
+        # the exact copy-protection the aliased write kernel exists to
+        # avoid (this silently fit on depth-scaled runs and OOM'd every
+        # full-depth int4 run before the fix)
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, tokens, state, lens):
             def body(i, carry):
                 tokens, state, lens, acc = carry
@@ -111,28 +118,32 @@ def main():
                         acc + logits[0, 0, 0])
             out = jax.lax.fori_loop(0, n, body,
                                     (tokens, state, lens, jnp.float32(0)))
-            return out[3]
+            return out[3], out[1]
         return run
 
     run = build_run(iters)
 
     t0 = time.time()
-    float(run(params, tok0, state, lens0))
+    acc, state = run(params, tok0, state, lens0)
+    float(acc)
     print(f"compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
     # slope timing: the relay's ~50 ms readback RTT is paid once per
     # float() sync, flooring short runs — time two iteration counts and
     # take the slope so RTT cancels (docs/PERF.md, round-2 discovery)
     run_hi = build_run(4 * iters)
     t0 = time.time()
-    float(run_hi(params, tok0, state, lens0))
+    acc, state = run_hi(params, tok0, state, lens0)
+    float(acc)
     print(f"compile hi: {time.time()-t0:.0f}s", file=sys.stderr)
     t_lo = t_hi = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
-        float(run(params, tok0, state, lens0))
+        acc, state = run(params, tok0, state, lens0)
+        float(acc)
         t_lo = min(t_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(run_hi(params, tok0, state, lens0))
+        acc, state = run_hi(params, tok0, state, lens0)
+        float(acc)
         t_hi = min(t_hi, time.perf_counter() - t0)
     best = (t_hi - t_lo) / (3 * iters)
 

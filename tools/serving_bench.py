@@ -35,10 +35,15 @@ def main():
                     help="GQA: 8 gives Llama-3-8B-like geometry — the KV "
                          "pool shrinks 4x, so deeper gen/batch fits")
     ap.add_argument("--scheme", default="int8_mix",
-                    choices=["int8_mix", "int4_mix", "w4a16_g", "w8a16"],
+                    choices=["int8_mix", "int4_mix", "w4a16", "w4a16_g",
+                             "w8a16"],
                     help="quantization scheme (int4 weights halve the "
                          "decode weight stream vs int8)")
     ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--geometry", default="7b", choices=["7b", "13b"],
+                    help="13b = BASELINE's Llama-2-13B W4A16 serving "
+                         "config (MHA-40, hidden 5120; --layers 40 for "
+                         "full depth)")
     ap.add_argument("--block_reuse", action="store_true",
                     help="shared-prompt workload through the prefix cache")
     ap.add_argument("--speculative", action="store_true",
@@ -76,9 +81,14 @@ def main():
                                              KVCacheQuantAlgo)
     from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
 
-    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                      intermediate_size=11008, num_layers=args.layers,
-                      num_heads=32, num_kv_heads=args.kv_heads, head_dim=128,
+    if args.geometry == "13b":
+        geo = dict(hidden_size=5120, intermediate_size=13824, num_heads=40)
+        if args.kv_heads == 32:
+            args.kv_heads = 40    # 13B default is MHA
+    else:
+        geo = dict(hidden_size=4096, intermediate_size=11008, num_heads=32)
+    cfg = ModelConfig(vocab_size=32000, num_layers=args.layers,
+                      num_kv_heads=args.kv_heads, head_dim=128, **geo,
                       quant=QuantConfig(algo=QuantAlgo(args.scheme),
                                         num_outliers=128,
                                         kv_cache=KVCacheQuantAlgo.INT8))
@@ -187,7 +197,7 @@ def main():
         print(json.dumps({
             "requests": args.requests, "prompt": args.prompt,
             "gen": args.gen, "burst": args.burst,
-            "scheme": args.scheme,
+            "scheme": args.scheme, "geometry": args.geometry,
             "mixed_burst": args.mixed_burst,
             "arrival_rate": args.arrival_rate, "layers": args.layers,
             "wall_s": round(wall, 1),
@@ -225,7 +235,8 @@ def main():
                    for r in rids)
     print(json.dumps({
         "requests": args.requests, "prompt": args.prompt, "gen": args.gen,
-        "burst": args.burst, "scheme": args.scheme, "layers": args.layers,
+        "burst": args.burst, "scheme": args.scheme,
+        "geometry": args.geometry, "layers": args.layers,
         "wall_s": round(wall, 1),
         "gen_tok_s": round(gen_total / wall, 1),
         "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2),
