@@ -92,6 +92,22 @@ def wo_matmul(x, qweight, scale_col, out_dtype=jnp.bfloat16,
 # packed int4: HBM reads 0.5 bytes/weight, nibbles split in VMEM
 # ---------------------------------------------------------------------------
 
+def _unpack_nibbles_bf16(p8):
+    """Packed int8 block -> (lo, hi) signed-nibble bf16 planes.
+
+    i32 shifts + i32->bf16 converts. Alternatives measured on chip
+    (2026-08-20 shootout, 16x13824 @ 6912x5120 block): this route streams
+    the packed tensor at 884 GB/s — AT memory speed, 2x faster than both
+    an i32->i8->bf16 downcast chain (445) and the reference-style
+    magic-number bitcast dequant (471; i16 shifts don't legalize in
+    Mosaic at all, and the f32-magic variant pays an f32->bf16 truncate
+    per element). The unpack is NOT the packed path's bottleneck."""
+    p = p8.astype(jnp.int32)                  # sign-extended packed
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)      # signed low nibble
+    hi = (p >> 4).astype(jnp.bfloat16)               # signed high nibble
+    return lo, hi
+
+
 def _wo_packed_kernel(x_lo_ref, x_hi_ref, qp_ref, scol_ref, out_ref, acc_ref,
                       *, n_k_steps):
     k_step = pl.program_id(2)
@@ -100,11 +116,7 @@ def _wo_packed_kernel(x_lo_ref, x_hi_ref, qp_ref, scol_ref, out_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # nibble unpack in i32: Mosaic on current TPU runtimes cannot legalize
-    # arith.shli on i8 vectors ("failed to legalize operation 'arith.shli'")
-    p = qp_ref[:].astype(jnp.int32)                  # sign-extended packed
-    lo = ((p << 28) >> 28).astype(jnp.bfloat16)      # signed low nibble
-    hi = (p >> 4).astype(jnp.bfloat16)               # signed high nibble
+    lo, hi = _unpack_nibbles_bf16(qp_ref[:])
     acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
     acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
 
@@ -187,11 +199,7 @@ def _wo_packed_grouped_kernel(x_lo_ref, x_hi_ref, qp_ref, sg_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # nibble unpack in i32: Mosaic on current TPU runtimes cannot legalize
-    # arith.shli on i8 vectors ("failed to legalize operation 'arith.shli'")
-    p = qp_ref[:].astype(jnp.int32)                  # sign-extended packed
-    lo = ((p << 28) >> 28).astype(jnp.bfloat16)      # signed low nibble
-    hi = (p >> 4).astype(jnp.bfloat16)               # signed high nibble
+    lo, hi = _unpack_nibbles_bf16(qp_ref[:])
     # per-group scales differ along K, so each group's partial dot is
     # scaled in f32 BEFORE accumulation (exact — no scaled-weight rounding).
     # sg_ref carries the FULL (K/gs, bn) scale column (a per-block
