@@ -53,7 +53,8 @@ def child(args):
     stage_s = time.time() - t0
 
     t0 = time.time()
-    ex = Executor(params, cfg, max_batch=16, max_seq_len=768,
+    # modest pool: the metric is compile-vs-load time, not capacity
+    ex = Executor(params, cfg, max_batch=8, max_seq_len=640,
                   block_size=128, prefill_chunk=256, prefill_lanes=4,
                   seed=0)
     c0, h0 = compile_watch.compile_count(), compile_watch.cache_hit_count()
