@@ -8,10 +8,13 @@ enumerated every program the serving loop can hit — and round 3 measured
 what one miss costs: a cold pow2 burst rung landing mid-serving turned a
 455 tok/s run into 36 (docs/PERF.md "cold ladder compiles must be
 warmed"). This module makes the guarantee OBSERVABLE instead of hoped-for:
-jax.monitoring emits `/jax/core/compile/backend_compile_duration` exactly
-once per backend compilation (including persistent-cache *misses*; cache
-hits load without compiling and are counted separately as
-`/jax/compilation_cache/cache_hits`), so a monotone counter sampled after
+jax.monitoring emits `/jax/core/compile/backend_compile_duration` once
+per backend compile AND once per persistent-cache load (measured:
+tools/startup_bench.py's cached start shows compiled=9, cache_loaded=9
+— the duration event wraps both paths; `cache_hit_count()` separates
+them). For the no-compiles-after-warmup contract that conflation is
+fine: a post-warmup cache LOAD also costs ~1.7 s on chip and deserves
+flagging. A monotone counter sampled after
 warmup() pins "no compiles after warmup" — the executor exposes the delta
 in IterationStats-adjacent accounting and /health, and
 tests/test_compile_watch.py drives a mixed workload asserting it stays 0.
