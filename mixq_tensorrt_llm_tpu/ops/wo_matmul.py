@@ -130,7 +130,7 @@ def _wo_packed_kernel(x_lo_ref, x_hi_ref, qp_ref, scol_ref, out_ref, acc_ref,
                                              "block_m", "block_n", "block_k"))
 def wo_matmul_packed(x, qweight_packed, scale_col, out_dtype=jnp.bfloat16,
                      interpret=None, block_m: int = 256,
-                     block_n: int = 512, block_k: int = 512):
+                     block_n: int = 1024, block_k: int = 2048):
     """x (M, K) bf16; qweight_packed int8 (K//2, N) in quant.core.pack_int4's
     K-HALF layout (low nibble = row k, high nibble = row k + K/2);
     scale_col (N,) f32 -> (M, N).
@@ -141,6 +141,16 @@ def wo_matmul_packed(x, qweight_packed, scale_col, out_dtype=jnp.bfloat16,
     traffic (0.5 bytes/weight) and the two nibble planes dot against the
     matching halves of the activation K axis — no interleave, no unpacked
     copy in HBM. block_k counts PACKED rows (bk packed rows = 2*bk logical).
+
+    Bandwidth ceiling (on-chip block sweep, 2026-08-20, composed 13B
+    layer scan at M=16): the Mosaic pipeline tops out at ~340 GB/s of
+    HBM traffic regardless of blocking ((512,512) 294 -> (2048,1024)
+    339; cf. the ~310 GB/s Pallas sequential-copy ceiling in docs/PERF.md
+    envelope), while an XLA int8 dot streams 678 GB/s. The tuned blocks
+    below make packed int4 match the int8 XLA dot's TIME (468 us/layer)
+    at HALF the bytes — int4's win on this chip is therefore CAPACITY
+    (13B full depth on 16 GB), not rate, until Mosaic DMA reaches XLA's
+    streaming bandwidth.
     """
     interpret = resolve_interpret(interpret)
     m, k = x.shape
