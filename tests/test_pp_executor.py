@@ -98,8 +98,10 @@ def test_pp2_tp_indivisible_falls_back(monkeypatch):
     assert got == want, (got, want)
 
 
-def test_pp2_burst_and_window(monkeypatch):
-    """Burst decode and alternating-window (Gemma-2 pattern) under pp."""
+@pytest.mark.parametrize("tp", [1, 2])
+def test_pp2_burst_and_window(tp, monkeypatch):
+    """Burst decode and alternating-window (Gemma-2 pattern) under pp,
+    and under pp x tp on the nested-tp kernel plane."""
     monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
     monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
     cfg = ModelConfig(**dict(BASE, sliding_window=8,
@@ -107,7 +109,8 @@ def test_pp2_burst_and_window(monkeypatch):
                              attn_logit_softcap=5.0))
     params = init_random_params(cfg, jax.random.PRNGKey(1))
     want, _ = _run(cfg, params, None, burst=3)
-    got, _ = _run(cfg, params, _mesh(pp=2), burst=3)
+    got, ex = _run(cfg, params, _mesh(pp=2, tp=tp), burst=3)
+    assert ex._use_kernels
     assert got == want, (got, want)
 
 
