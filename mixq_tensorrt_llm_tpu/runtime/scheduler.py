@@ -1428,12 +1428,29 @@ class Executor:
             # {2, 4, ..., burst/2}, and each is its own XLA program
             k = burst // 2
             while k >= 2:
-                # budget k+1: the prefill emits one token, leaving exactly
-                # k of budget so run() takes one full k-burst
-                rid = self.submit([1] * max(n, 1), max_new_tokens=k + 1)
+                # budget k+2: the prefill emits one token and the
+                # admission step MAY decode one more before bursting
+                # (timing-dependent), leaving k or k+1 of budget — either
+                # way >= k, so run() takes one full k-burst. The old k+1
+                # budget left only k-1 when the step decoded, the rung
+                # silently never compiled, and the first staggered tail
+                # hitting it mid-serving ate a ~15 s compile on chip
+                # (measured: 124 vs 727 gen tok/s at 16 req x 128 gen).
+                rid = self.submit([1] * max(n, 1), max_new_tokens=k + 2)
                 self.run(burst=k)
                 self.finished.pop(rid, None)
                 k //= 2
+            if burst > 1:
+                # the choreography above must have materialized every
+                # rung — fail loudly here rather than mid-serving
+                want = {burst}
+                k = burst // 2
+                while k >= 2:
+                    want.add(k)
+                    k //= 2
+                missing = sorted(want - set(self._burst_fns))
+                assert not missing, \
+                    f"warmup failed to compile burst rungs {missing}"
             # lane-count variants _step_prefill can produce: pow2s, plus
             # prefill_lanes itself when it is not a power of two (p is
             # capped there, so e.g. lanes=3 runs a (3, chunk) program)

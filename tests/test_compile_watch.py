@@ -67,6 +67,26 @@ def test_no_compiles_after_warmup(setup):
         "a serving shape slipped past warmup's enumeration"
 
 
+def test_staggered_tail_rungs_are_warm(setup):
+    """Regression (round 4): warmup's rung ladder used budget k+1, which
+    silently skipped the k=2 burst whenever the admission step decoded a
+    token before bursting; the first STAGGERED batch tail then compiled
+    it mid-serving (~15 s on chip — measured 124 vs 727 gen tok/s).
+    Staggered admission waves (prefill_lanes < requests) with a shared
+    gen budget reproduce the small tail rungs."""
+    params, cfg = setup
+    ex = Executor(params, cfg, max_batch=8, max_seq_len=96, block_size=8,
+                  prefill_chunk=8, prefill_lanes=2, seed=0)
+    ex.warmup(burst=8)
+    # every pow2 rung the tail scheduler can pick must already exist
+    assert {2, 4, 8} <= set(ex._burst_fns), sorted(ex._burst_fns)
+    assert ex.compiles_since_warmup == 0
+    for i in range(8):
+        ex.submit([1 + i] * (3 + i), max_new_tokens=24)
+    ex.run(burst=8)
+    assert ex.compiles_since_warmup == 0
+
+
 def test_unwarmed_shape_is_detected(setup):
     params, cfg = setup
     ex = _executor(params, cfg)
