@@ -20,6 +20,7 @@ import numpy as np
 
 from ..models import common as mcommon
 from ..models.common import KVCache, ModelConfig
+from .sampler import BW_PAD, ban_bad_words
 
 NEG_INF = -1e9
 
@@ -29,6 +30,135 @@ class BeamResult:
     sequences: List[List[int]]      # best hypothesis per input (incl prompt)
     scores: List[float]             # sum logprob / length_penalty
     peak_blocks: Optional[int] = None   # paged path: peak pool pages used
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamControls:
+    """Per-lane packed logits controls for beam search (reference
+    SamplingConfig min_length / bad_words_list / stop_words_list running
+    inside the beam engine — gptDecoderBatch banBadWords + stop-criteria
+    kernels, tensorrt_llm/runtime/generation.py dynamic decoder).
+
+    All arrays are per-LANE (B*K rows; the K beams of a request share the
+    request's controls). `hist_w` is the rolling-history width carried
+    through the beam step: right-aligned, -1 padded, REORDERED with the
+    beam parents every step so each lane's history is its own ancestry's
+    token trail, then shifted left to append the chosen token."""
+    hist_w: int
+    min_lanes: Optional[jax.Array]   # (N,) int32 min_new_tokens, 0 = none
+    bw: Optional[jax.Array]          # (N, nw, lw) packed bad words
+    stops: Optional[jax.Array]       # (N, ns, ls) right-aligned, -1 pad
+    stop_len: Optional[jax.Array]    # (N, ns) int32, 0 = unused row
+
+    def key(self):
+        sh = (lambda a: None if a is None else tuple(a.shape))
+        return (self.hist_w, sh(self.min_lanes), sh(self.bw),
+                sh(self.stops))
+
+    def arrays(self):
+        return (self.min_lanes, self.bw, self.stops, self.stop_len)
+
+
+def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
+                        stop_sequences) -> Optional["BeamControls"]:
+    """Pack per-request controls into per-lane arrays; None when no
+    request carries any (the control-free compiled programs stay)."""
+    b = len(prompts)
+    has_min = min_new_tokens is not None and any(min_new_tokens)
+    has_bw = bad_words is not None and any(w for w in bad_words if w)
+    has_stop = (stop_sequences is not None
+                and any(s for s in stop_sequences if s))
+    if not (has_min or has_bw or has_stop):
+        return None
+    min_lanes = None
+    w_need = 1
+    if has_min:
+        min_lanes = jnp.asarray(
+            np.repeat(np.asarray(min_new_tokens, np.int32), k))
+    bw = None
+    if has_bw:
+        words = [t for ws in bad_words if ws for t in ws]
+        nw = max(len(ws or []) for ws in bad_words)
+        lw = max(2, max(len(t) for t in words))
+        arr = np.full((b, nw, lw), BW_PAD, np.int32)
+        for i, ws in enumerate(bad_words):
+            for j, t in enumerate(ws or []):
+                arr[i, j, lw - len(t):] = t
+        bw = jnp.asarray(np.repeat(arr, k, axis=0))
+        w_need = max(w_need, lw - 1)
+    stops = stop_len = None
+    if has_stop:
+        seqs = [s for ss in stop_sequences if ss for s in ss]
+        ns = max(len(ss or []) for ss in stop_sequences)
+        ls = max(len(s) for s in seqs)
+        arr = np.full((b, ns, ls), -1, np.int32)
+        lens = np.zeros((b, ns), np.int32)
+        for i, ss in enumerate(stop_sequences):
+            for j, s in enumerate(ss or []):
+                arr[i, j, ls - len(s):] = s
+                lens[i, j] = len(s)
+        stops = jnp.asarray(np.repeat(arr, k, axis=0))
+        stop_len = jnp.asarray(np.repeat(lens, k, axis=0))
+        w_need = max(w_need, ls)
+    return BeamControls(int(w_need), min_lanes, bw, stops, stop_len)
+
+
+def _init_hist(prompts, k: int, w: int) -> jax.Array:
+    """(B*K, w) right-aligned prompt tails, -1 padded — the bad-words
+    prefix window spans the prompt like the Executor's _history does."""
+    b = len(prompts)
+    out = np.full((b * k, w), -1, np.int32)
+    for i, p in enumerate(prompts):
+        tail = list(p)[-w:]
+        if tail:
+            out[i * k:(i + 1) * k, w - len(tail):] = tail
+    return jnp.asarray(out)
+
+
+def _ban_logits(raw, hist, ctrl: BeamControls, gen_next, eos: int):
+    """Pre-softmax logits controls for one beam step. raw (N, V); hist
+    (N, W); gen_next = traced 1-based index (in generated output) of the
+    token being chosen. EOS is banned while gen_next <= min_new_tokens —
+    the in-graph form of _append_token's `len(generated) > min_new`."""
+    if ctrl.bw is not None:
+        raw = ban_bad_words(raw, hist, ctrl.bw)
+    if ctrl.min_lanes is not None and eos >= 0:
+        ban = gen_next <= ctrl.min_lanes                 # (N,)
+        v = raw.shape[-1]
+        raw = jnp.where(ban[:, None] & (jnp.arange(v)[None, :] == eos),
+                        NEG_INF, raw)
+    return raw
+
+
+def _stop_hits(hist_new, ctrl: BeamControls, gen_next):
+    """(N,) bool — the token just appended to hist_new completes a stop
+    sequence lying entirely within generated output (gen_next >= stop
+    length: the Executor's generated-only suffix rule)."""
+    if ctrl.stops is None:
+        return None
+    ls = ctrl.stops.shape[2]
+    tail = hist_new[:, hist_new.shape[1] - ls:]          # (N, ls)
+    ok = (ctrl.stops == -1) | (tail[:, None, :] == ctrl.stops)
+    m = (jnp.all(ok, axis=-1) & (ctrl.stop_len > 0)
+         & (gen_next >= ctrl.stop_len))
+    return jnp.any(m, axis=-1)
+
+
+def _ban_step0(logp0, ctrl: Optional[BeamControls], prompts, k: int,
+               eos: int):
+    """First-token bans applied to the prefill LOG-PROBS: ban then re-run
+    log_softmax — shift-invariance makes that exactly equal to banning
+    the raw logits (the prefill programs stay control-free)."""
+    if ctrl is None:
+        return logp0
+    hist = _init_hist(prompts, 1, ctrl.hist_w)           # (B, W) per req
+    req = BeamControls(ctrl.hist_w,
+                       None if ctrl.min_lanes is None else
+                       ctrl.min_lanes[::k],
+                       None if ctrl.bw is None else ctrl.bw[::k],
+                       None, None)
+    raw = _ban_logits(logp0, hist, req, jnp.int32(1), eos)
+    return jax.nn.log_softmax(raw, axis=-1)
 
 
 def _tile_cache(cache: KVCache, k: int) -> KVCache:
@@ -53,10 +183,19 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
                 max_new_tokens: int, num_beams: int = 4,
                 length_penalty: float = 1.0,
                 eos_token_id: Optional[int] = None,
-                max_seq_len: int = 2048) -> BeamResult:
-    """Batched beam search; returns the best hypothesis per prompt."""
+                max_seq_len: int = 2048,
+                min_new_tokens=None, bad_words=None,
+                stop_sequences=None) -> BeamResult:
+    """Batched beam search; returns the best hypothesis per prompt.
+
+    min_new_tokens / bad_words / stop_sequences: optional PER-REQUEST
+    controls (ints / lists of token-id sequences), applied in-graph —
+    see BeamControls."""
     b = len(prompts)
     k = num_beams
+    ctrl = _pack_beam_controls(prompts, k, min_new_tokens, bad_words,
+                               stop_sequences)
+    eos_i = -1 if eos_token_id is None else int(eos_token_id)
     lens_list = [len(p) for p in prompts]
     max_prompt = max(lens_list)
     assert max_prompt + max_new_tokens <= max_seq_len
@@ -77,6 +216,7 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
         return jax.nn.log_softmax(last[:, 0], axis=-1), cache
 
     logp0, cache = prefill(params, jnp.asarray(tokens), cache, lens)
+    logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
 
     # initial beams: top-k tokens of the prompt's last position
     top_lp, top_tok = jax.lax.top_k(logp0, k)          # (B, K)
@@ -89,13 +229,24 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
     finished = np.zeros((b, k), bool)
     if eos_token_id is not None:
         finished |= np.asarray(top_tok) == eos_token_id
+    hist = None
+    if ctrl is not None:
+        hist = _init_hist(prompts, k, ctrl.hist_w)
+        hist = jnp.concatenate([hist[:, 1:], cur[:, None]], axis=1)
+        sh = _stop_hits(hist, ctrl, jnp.int32(1))
+        if sh is not None:
+            finished |= np.asarray(sh).reshape(b, k)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(params, cur, cache, cur_lens, beam_scores, finished_mask):
+    def step(params, cur, cache, cur_lens, beam_scores, finished_mask,
+             hist, gen0):
         logits, cache = mcommon.forward(
             params, cfg, cur[:, None], cur_lens[:, None].astype(jnp.int32),
             cache, cur_lens + 1)
-        logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+        raw = logits[:, 0].astype(jnp.float32)
+        if ctrl is not None:
+            raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)
+        logp = jax.nn.log_softmax(raw, axis=-1)
         v = logp.shape[-1]
         logp = logp.reshape(b, k, v)
         # finished beams: freeze score, only allow a dummy continuation
@@ -109,34 +260,49 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
         token = (idx % v).astype(jnp.int32)
         rows = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
         cache = _reorder_cache(cache, rows)
+        fin = jnp.take_along_axis(finished_mask, parent, axis=1)
+        if eos_i >= 0:
+            fin = fin | (token == eos_i)
+        if ctrl is not None:
+            hist = jnp.take(hist, rows, axis=0)
+            hist = jnp.concatenate(
+                [hist[:, 1:], token.reshape(b * k)[:, None]], axis=1)
+            sh = _stop_hits(hist, ctrl, gen0 + 1)
+            if sh is not None:
+                fin = fin | sh.reshape(b, k)
         return (token.reshape(b * k), cache, new_scores, parent, token,
-                jnp.take(cur_lens, rows))
+                jnp.take(cur_lens, rows), fin, hist)
 
     for _ in range(max_new_tokens - 1):
         if finished.all():
             break
         fin = jnp.asarray(finished)
-        cur, cache, beam_scores, parent, token, cur_lens = step(
-            params, cur, cache, cur_lens, beam_scores, fin)
+        gen0 = jnp.int32(len(beam_tokens))
+        cur, cache, beam_scores, parent, token, cur_lens, fin_d, hist = \
+            step(params, cur, cache, cur_lens, beam_scores, fin, hist,
+                 gen0)
         parent_np = np.asarray(parent)
         token_np = np.asarray(token)
-        finished = np.take_along_axis(finished, parent_np, axis=1)
-        if eos_token_id is not None:
-            finished |= token_np == eos_token_id
+        finished = np.asarray(fin_d)
         beam_parents.append(parent_np)
         beam_tokens.append(token_np.reshape(b * k))
         cur_lens = cur_lens + 1
 
     return _backtrack(prompts, k, beam_tokens, beam_parents,
-                      np.asarray(beam_scores), length_penalty, eos_token_id)
+                      np.asarray(beam_scores), length_penalty,
+                      eos_token_id, stop_sequences)
 
 
 def _backtrack(prompts, k: int, beam_tokens, beam_parents, scores_np,
-               length_penalty: float, eos_token_id) -> BeamResult:
+               length_penalty: float, eos_token_id,
+               stop_sequences=None) -> BeamResult:
     """Trace the best hypothesis per prompt through the parent chain.
 
     beam_tokens: per-step (B*K,) chosen tokens; beam_parents: per-step
-    (B, K) parent beam index (one fewer entry than beam_tokens)."""
+    (B, K) parent beam index (one fewer entry than beam_tokens).
+    stop_sequences: optional per-request stop lists — the hypothesis is
+    cut after the first completed stop suffix (suffix kept, like the
+    Executor), whichever of eos/stop completes first."""
     b = len(prompts)
     gen_len = len(beam_tokens)
     norm = scores_np / (gen_len ** length_penalty)
@@ -150,8 +316,19 @@ def _backtrack(prompts, k: int, beam_tokens, beam_parents, scores_np,
             if t > 0:
                 beam = int(beam_parents[t - 1][i, beam])
         toks.reverse()
+        cut = None
         if eos_token_id is not None and eos_token_id in toks:
-            toks = toks[: toks.index(eos_token_id) + 1]
+            cut = toks.index(eos_token_id) + 1
+        stops_i = stop_sequences[i] if stop_sequences else None
+        if stops_i:
+            for n in range(1, (len(toks) if cut is None else cut) + 1):
+                if any(n >= len(ss)
+                       and toks[n - len(ss):n] == list(ss)
+                       for ss in stops_i):
+                    cut = n if cut is None else min(cut, n)
+                    break
+        if cut is not None:
+            toks = toks[:cut]
         sequences.append(list(prompts[i]) + toks)
         out_scores.append(float(norm[i, best[i]]))
     return BeamResult(sequences, out_scores)
@@ -176,8 +353,15 @@ def paged_beam_search(params, cfg: ModelConfig,
                       eos_token_id: Optional[int] = None,
                       max_seq_len: int = 2048,
                       block_size: int = 64,
-                      burst: int = 1, mesh=None) -> BeamResult:
+                      burst: int = 1, mesh=None,
+                      min_new_tokens=None, bad_words=None,
+                      stop_sequences=None) -> BeamResult:
     """Beam search over the paged KV pool with block sharing.
+
+    min_new_tokens / bad_words / stop_sequences: optional PER-REQUEST
+    logits controls applied in-graph (BeamControls): EOS banned below the
+    minimum, bad-word finals banned on a history-prefix match, stop-
+    sequence suffix matches finish the hypothesis like EOS.
 
     Reference parity: kv_cache_manager.py:66-244 beam-width block sharing —
     all beams of a prompt share the prompt's KV blocks (written ONCE, vs
@@ -213,6 +397,9 @@ def paged_beam_search(params, cfg: ModelConfig,
         mesh = None    # 1-device mesh == single-chip path
 
     b, k = len(prompts), num_beams
+    ctrl = _pack_beam_controls(prompts, k, min_new_tokens, bad_words,
+                               stop_sequences)
+    eos_i = -1 if eos_token_id is None else int(eos_token_id)
     lens_list = [len(p) for p in prompts]
     max_prompt = max(lens_list)
     assert max_prompt + max_new_tokens <= max_seq_len
@@ -303,6 +490,7 @@ def paged_beam_search(params, cfg: ModelConfig,
             bm.fork(i * k, i * k + j)
     peak_blocks = bm.num_blocks - bm.num_free
 
+    logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
     top_lp, top_tok = jax.lax.top_k(logp0, k)           # (B, K)
     beam_scores = top_lp
     beam_tokens = [np.asarray(top_tok).reshape(b * k)]
@@ -312,6 +500,13 @@ def paged_beam_search(params, cfg: ModelConfig,
     finished = np.zeros((b, k), bool)
     if eos_token_id is not None:
         finished |= np.asarray(top_tok) == eos_token_id
+    hist = None
+    if ctrl is not None:
+        hist = _init_hist(prompts, k, ctrl.hist_w)
+        hist = jnp.concatenate([hist[:, 1:], cur[:, None]], axis=1)
+        sh = _stop_hits(hist, ctrl, jnp.int32(1))
+        if sh is not None:
+            finished |= np.asarray(sh).reshape(b, k)
 
     n_lanes = b * k
 
@@ -321,11 +516,14 @@ def paged_beam_search(params, cfg: ModelConfig,
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, cur, state, table, cur_lens, beam_scores,
-             finished_mask):
+             finished_mask, hist, gen0):
         logits, state = mcommon.forward_paged(
             params, cfg, cur[:, None], cur_lens[:, None].astype(jnp.int32),
             state, table, cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh)
-        logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+        raw = logits[:, 0].astype(jnp.float32)
+        if ctrl is not None:
+            raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)
+        logp = jax.nn.log_softmax(raw, axis=-1)
         v = logp.shape[-1]
         logp = logp.reshape(b, k, v)
         cont = jnp.where(finished_mask[:, :, None], NEG_INF, logp)
@@ -336,7 +534,18 @@ def paged_beam_search(params, cfg: ModelConfig,
         new_scores, idx = jax.lax.top_k(flat, k)
         parent = idx // v
         token = (idx % v).astype(jnp.int32)
-        return state, new_scores, parent, token
+        fin = jnp.take_along_axis(finished_mask, parent, axis=1)
+        if eos_i >= 0:
+            fin = fin | (token == eos_i)
+        if ctrl is not None:
+            rows = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
+            hist = jnp.take(hist, rows, axis=0)
+            hist = jnp.concatenate(
+                [hist[:, 1:], token.reshape(b * k)[:, None]], axis=1)
+            sh = _stop_hits(hist, ctrl, gen0 + 1)
+            if sh is not None:
+                fin = fin | sh.reshape(b, k)
+        return state, new_scores, parent, token, fin, hist
 
     nl = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
     nb = bm.num_blocks
@@ -368,10 +577,10 @@ def paged_beam_search(params, cfg: ModelConfig,
             params, cfg, bm, pools, mb, b, k, burst, max_new_tokens,
             eos_token_id, cur, cur_lens, beam_scores, finished,
             beam_tokens, beam_parents, cow, nl, nb, peak_blocks,
-            mesh=mesh, use_k_mesh=use_k_mesh)
+            mesh=mesh, use_k_mesh=use_k_mesh, ctrl=ctrl, hist=hist)
         result = _backtrack(prompts, k, beam_tokens, beam_parents,
                             np.asarray(beam_scores), length_penalty,
-                            eos_token_id)
+                            eos_token_id, stop_sequences)
         result.peak_blocks = peak_blocks
         return result
 
@@ -381,10 +590,11 @@ def paged_beam_search(params, cfg: ModelConfig,
         pools = run_cow(pools)
         peak_blocks = max(peak_blocks, bm.num_blocks - bm.num_free)
         table = jnp.asarray(bm.block_table(all_lanes, mb))
-        state, beam_scores, parent, token = step(
+        gen0 = jnp.int32(len(beam_tokens))
+        state, beam_scores, parent, token, fin_d, hist = step(
             params, cur, to_state(pools), table,
             jnp.asarray(cur_lens, jnp.int32), beam_scores,
-            jnp.asarray(finished))
+            jnp.asarray(finished), hist, gen0)
         pools = {"k": state.k, "v": state.v}
         if state.quantized:
             pools.update(k_scale=state.k_scale, v_scale=state.v_scale)
@@ -404,9 +614,7 @@ def paged_beam_search(params, cfg: ModelConfig,
             sb.seq_id = lane
             bm.seqs[lane] = sb
 
-        finished = np.take_along_axis(finished, parent_np, axis=1)
-        if eos_token_id is not None:
-            finished |= token_np == eos_token_id
+        finished = np.asarray(fin_d)
         beam_parents.append(parent_np)
         beam_tokens.append(token_np.reshape(b * k))
         cur = jnp.asarray(token_np.reshape(b * k))
@@ -414,7 +622,7 @@ def paged_beam_search(params, cfg: ModelConfig,
 
     result = _backtrack(prompts, k, beam_tokens, beam_parents,
                         np.asarray(beam_scores), length_penalty,
-                        eos_token_id)
+                        eos_token_id, stop_sequences)
     result.peak_blocks = peak_blocks
     return result
 
@@ -486,7 +694,7 @@ _BURST_FNS: dict = {}   # (cfg, b, k, k_eff, ...) -> memoized jitted burst
 
 def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                      eos: int, use_kernels: bool, do_cow: bool,
-                     quantized: bool, mesh=None):
+                     quantized: bool, mesh=None, ctrl=None):
     """Jitted k_eff-step beam burst: per step — forward with tail, top-k
     over (K*V), IN-GRAPH beam reorder of block tables and tails (a lane
     gather, no page copies), score/finished updates — then an IN-GRAPH
@@ -513,30 +721,41 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
 
     MEMOIZED module-level (params/pools are call arguments): per-call jit
     closures made every run_beams batch reload its executables from the
-    persistent cache — measured ~1 s per ladder rung per call on chip."""
+    persistent cache — measured ~1 s per ladder rung per call on chip.
+
+    ctrl (BeamControls): when present, the step applies the in-graph
+    logits controls pre-softmax and carries/reorders the rolling history;
+    only shapes enter the memo key — the arrays are call arguments."""
     key = (cfg, b, k, k_eff, eos, use_kernels, do_cow, quantized,
-           mesh)
+           mesh, None if ctrl is None else ctrl.key())
     hit = _BURST_FNS.get(key)
     if hit is not None:
         return hit
     n_lanes = b * k
+    hist_w = 0 if ctrl is None else ctrl.hist_w
 
     # pools are donated: the epilogue writes them in place (the scan reads
     # them read-only first; XLA serializes the aliased update after the
     # last read)
     @functools.partial(jax.jit, donate_argnums=(1,))
     def burst(params, pools, table0, bpos, cur0, prefix_len, scores0, fin0,
-              cow_src_own, cow_dst, flush_blk, flush_off):
+              cow_src_own, cow_dst, flush_blk, flush_off, hist0, gen0,
+              ctrl_arrs):
         nl = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
         nb = pools["k"].shape[0] // nl
         tails0 = _init_tail(cfg, n_lanes, k_eff, quantized)
+        c = None if ctrl is None else BeamControls(hist_w, *ctrl_arrs)
 
         def step(carry, _):
-            cur, tails, tidx, table, lane_ids, scores, fin = carry
+            cur, tails, tidx, table, lane_ids, scores, fin, hist = carry
             logits, tails = _forward_with_tail(
                 params, cfg, cur, pools, table, bpos, prefix_len, tails,
                 tidx, use_kernels, mesh=mesh)
-            logp = jax.nn.log_softmax(logits[:, 0], axis=-1)
+            raw = logits[:, 0]
+            gen_next = gen0 + tidx + 1
+            if c is not None:
+                raw = _ban_logits(raw, hist, c, gen_next, eos)
+            logp = jax.nn.log_softmax(raw, axis=-1)
             v = logp.shape[-1]
             logp = logp.reshape(b, k, v)
             cont = jnp.where(fin[:, :, None], NEG_INF, logp)
@@ -553,15 +772,23 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
             fin = jnp.take_along_axis(fin, parent, axis=1)
             if eos >= 0:
                 fin = fin | (token == eos)
+            if c is not None:
+                hist = jnp.take(hist, rows, axis=0)
+                hist = jnp.concatenate(
+                    [hist[:, 1:], token.reshape(n_lanes)[:, None]],
+                    axis=1)
+                sh = _stop_hits(hist, c, gen_next)
+                if sh is not None:
+                    fin = fin | sh.reshape(b, k)
             return ((token.reshape(n_lanes), tails, tidx + 1, table,
-                     lane_ids, new_scores, fin), (parent, token,
-                                                  new_scores))
+                     lane_ids, new_scores, fin, hist),
+                    (parent, token, new_scores, fin))
 
         lane_ids0 = jnp.arange(n_lanes, dtype=jnp.int32)
         carry0 = (cur0, tails0, jnp.int32(0), table0, lane_ids0, scores0,
-                  fin0)
-        (cur, tails, _, table, lane_ids, scores, fin), \
-            (parents, tokens, scores_steps) \
+                  fin0, hist0)
+        (cur, tails, _, table, lane_ids, scores, fin, hist), \
+            (parents, tokens, scores_steps, fin_steps) \
             = jax.lax.scan(step, carry0, None, length=k_eff)
 
         lrows = jnp.arange(nl, dtype=jnp.int32)[:, None] * nb
@@ -583,7 +810,7 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                 + flush_blk[None])                           # (L, N, k)
         offs = jnp.broadcast_to(flush_off[None], rows.shape)
         pools = _flush_tail(pools, tails, rows, offs)
-        return cur, scores_steps, fin, parents, tokens, pools
+        return cur, scores_steps, fin_steps, parents, tokens, hist, pools
 
     _BURST_FNS[key] = burst
     return burst
@@ -612,7 +839,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                        max_new_tokens, eos_token_id, cur, cur_lens,
                        beam_scores, finished, beam_tokens, beam_parents,
                        cow, nl, nb, peak_blocks, mesh=None,
-                       use_k_mesh=True):
+                       use_k_mesh=True, ctrl=None, hist=None):
     """Drive the beam decode in k_eff-step compiled bursts.
 
     Per burst: ONE device call runs k_eff [forward+top-k+in-graph reorder]
@@ -656,6 +883,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
     cur = np.asarray(cur)
     cur_lens = np.asarray(cur_lens, np.int64)
     steps_left = max_new_tokens - 1
+    gen_count = len(beam_tokens)   # tokens emitted before this burst
 
     while steps_left > 0 and not finished.all():
         # pow2-CEILING final burst with host-side overshoot discard, like
@@ -712,19 +940,23 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         peak_blocks = max(peak_blocks, bm.num_blocks - bm.num_free)
 
         burst_fn = _make_beam_burst(params, cfg, b, k, k_eff, eos, use_k,
-                                    do_cow, quantized, mesh=mesh)
+                                    do_cow, quantized, mesh=mesh,
+                                    ctrl=ctrl)
         table = jnp.asarray(bm.block_table(all_lanes, mb))
         bpos = jnp.asarray(bm.block_pos(all_lanes, mb))
         _mark("host prealloc", t0)
         t0 = _time.perf_counter()
-        cur_j, scores_steps, fin, parents, tokens, pools = burst_fn(
-            params, pools, table, bpos, jnp.asarray(cur, jnp.int32),
-            jnp.asarray(cur_lens, jnp.int32), beam_scores,
-            jnp.asarray(finished), jnp.asarray(cow_src_own),
-            jnp.asarray(cow_dst), jnp.asarray(flush_blk),
-            jnp.asarray(flush_off))
+        cur_j, scores_steps, fin_steps, parents, tokens, hist, pools = \
+            burst_fn(
+                params, pools, table, bpos, jnp.asarray(cur, jnp.int32),
+                jnp.asarray(cur_lens, jnp.int32), beam_scores,
+                jnp.asarray(finished), jnp.asarray(cow_src_own),
+                jnp.asarray(cow_dst), jnp.asarray(flush_blk),
+                jnp.asarray(flush_off), hist, jnp.int32(gen_count),
+                None if ctrl is None else ctrl.arrays())
         parents_np = np.asarray(parents)      # (k_eff, B, K)
         tokens_np = np.asarray(tokens)
+        fin_steps_np = np.asarray(fin_steps)  # (k_eff, B, K) post-step
         _mark(f"burst+commit k={k_eff} (device)", t0, sync=tokens)
         t0 = _time.perf_counter()
 
@@ -740,12 +972,11 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                 break
             p_t = parents_np[t]
             anc = np.take_along_axis(anc, p_t, axis=1)
-            finished = np.take_along_axis(finished, p_t, axis=1)
-            if eos >= 0:
-                finished |= tokens_np[t] == eos
+            finished = fin_steps_np[t]
             beam_parents.append(p_t)
             beam_tokens.append(tokens_np[t].reshape(n_lanes))
             folded = t + 1
+        gen_count += k_eff
         # scores AT the last folded step (the per-step path's stopping
         # point): overshot/ post-finish steps must not leak score
         # accumulation into the length-normalized ranking

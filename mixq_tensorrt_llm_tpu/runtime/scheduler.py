@@ -1480,8 +1480,12 @@ class Executor:
         request, beams fork tail pages COW — and each request's best
         hypothesis lands in Request.generated. Like the reference's
         engine-wide maxBeamWidth, the beam config is uniform: all queued
-        requests must share max_new_tokens and eos_token_id, and
-        per-request logits controls are rejected.
+        requests must share max_new_tokens and eos_token_id. Per-request
+        min_new_tokens / bad_words / stop_sequences run IN-GRAPH inside
+        the beam step (runtime.beam.BeamControls — the reference's
+        gptDecoderBatch banBadWords/stop-criteria kernels live inside its
+        beam decoder too); named logits processors and LoRA remain
+        unsupported under beams.
         """
         assert self.num_active == 0 and not self.prefilling, \
             "run_beams drives queued work only (drain decode work first)"
@@ -1500,10 +1504,8 @@ class Executor:
             "run_beams needs uniform max_new_tokens and eos across the " \
             f"queue (got budgets {budgets}, eos {eoses})"
         for r in self.queue:
-            assert not (r.bad_words or r.logits_processor
-                        or r.stop_sequences or r.min_new_tokens
-                        or r.lora_id), \
-                "per-request logits controls unsupported in beam mode"
+            assert not (r.logits_processor or r.lora_id), \
+                "logits processors / LoRA unsupported in beam mode"
         n, eos = budgets.pop(), eoses.pop()
         while self.queue:
             batch = [self.queue.popleft()
@@ -1512,7 +1514,10 @@ class Executor:
                 self.params, self.cfg, [r.prompt for r in batch], n,
                 num_beams=num_beams, length_penalty=length_penalty,
                 eos_token_id=eos, max_seq_len=self.max_seq_len,
-                block_size=self.block_size, burst=burst, mesh=self.mesh)
+                block_size=self.block_size, burst=burst, mesh=self.mesh,
+                min_new_tokens=[r.min_new_tokens for r in batch],
+                bad_words=[r.bad_words for r in batch],
+                stop_sequences=[r.stop_sequences for r in batch])
             for r, seq in zip(batch, res.sequences):
                 r.generated = list(seq[len(r.prompt):])
                 r.done = True

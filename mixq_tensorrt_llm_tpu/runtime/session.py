@@ -138,19 +138,24 @@ class GenerationSession:
         -1-padded recent tokens. num_beams > 1 switches to deterministic
         beam search over the paged KV pool with block sharing across beams
         (reference SamplingConfig.num_beams + kv_cache_manager beam-width
-        sharing); sampling/min_new_tokens/stop_sequences do not apply
-        there.
+        sharing); min_new_tokens / stop_sequences / bad_words apply
+        in-graph inside the beam step (runtime.beam.BeamControls), while
+        sampling and logits_processors do not.
         """
         if num_beams > 1:
-            if bad_words or logits_processors:
-                raise ValueError("bad_words/logits_processors are not "
-                                 "supported with beam search")
+            if logits_processors:
+                raise ValueError("logits_processors are not supported "
+                                 "with beam search")
             from .beam import paged_beam_search
+            nb_ = len(prompts)
             res = paged_beam_search(
                 self.params, self.cfg, [list(p) for p in prompts],
                 max_new_tokens, num_beams=num_beams,
                 length_penalty=length_penalty, eos_token_id=eos_token_id,
-                max_seq_len=self.max_seq_len)
+                max_seq_len=self.max_seq_len,
+                min_new_tokens=[min_new_tokens] * nb_,
+                bad_words=[bad_words] * nb_,
+                stop_sequences=[stop_sequences] * nb_)
             return GenerationOutput(
                 sequences=res.sequences,
                 num_prompt_tokens=[len(p) for p in prompts],

@@ -1,0 +1,170 @@
+"""Per-request logits controls inside beam search (r3 VERDICT weak #5:
+min_new_tokens / bad_words / stop_sequences were hard-rejected in beam
+mode; the reference's gptDecoderBatch runs banBadWords + stop criteria +
+min_length inside its beam decoder, so these are parity edges).
+
+Pins: dense beam_search == paged per-step == paged burst under every
+control; control semantics (min length respected, banned words absent,
+stop suffix ends the hypothesis); executor run_beams accepts them.
+"""
+
+import numpy as np
+import pytest
+
+from mixq_tensorrt_llm_tpu.models import ModelConfig, llama as mllama
+from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
+from mixq_tensorrt_llm_tpu.runtime.beam import (beam_search,
+                                                paged_beam_search)
+
+import jax
+
+
+VOCAB = 64
+PROMPTS = [[3, 5, 7, 11, 2, 9], [4, 4, 8], [1, 2, 3, 4, 5, 6, 7, 8]]
+
+
+def _tiny_cfg():
+    return ModelConfig(vocab_size=VOCAB, hidden_size=64,
+                       intermediate_size=128, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=16,
+                       max_position_embeddings=128,
+                       quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                         num_outliers=4))
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    return params, cfg
+
+
+def _greedy_beams(model, n, **kw):
+    params, cfg = model
+    dense = beam_search(params, cfg, PROMPTS, n, num_beams=3, **kw)
+    paged = paged_beam_search(params, cfg, PROMPTS, n, num_beams=3,
+                              block_size=4, **kw)
+    burst = paged_beam_search(params, cfg, PROMPTS, n, num_beams=3,
+                              block_size=4, burst=4, **kw)
+    return dense, paged, burst
+
+
+class TestBeamControlPaths:
+    def test_min_new_tokens_all_paths_equal(self, model):
+        # eos chosen as the unconstrained argmax-ish token to make the
+        # ban observable: run once to find a frequent early token
+        base, _, _ = _greedy_beams(model, 6)
+        eos = base.sequences[0][len(PROMPTS[0]) + 1]
+        kw = dict(eos_token_id=eos, min_new_tokens=[5, 5, 5])
+        d, p, bu = _greedy_beams(model, 6, **kw)
+        assert d.sequences == p.sequences == bu.sequences
+        for seq, pr in zip(d.sequences, PROMPTS):
+            gen = seq[len(pr):]
+            if eos in gen:
+                assert gen.index(eos) + 1 > 5
+
+    def test_bad_words_all_paths_equal(self, model):
+        base, _, _ = _greedy_beams(model, 6)
+        # ban the first two generated tokens of the unconstrained best
+        gen0 = base.sequences[0][len(PROMPTS[0]):]
+        bw = [[[gen0[0]]], [[gen0[0]]], [[gen0[0]]]]
+        kw = dict(bad_words=bw)
+        d, p, bu = _greedy_beams(model, 6, **kw)
+        assert d.sequences == p.sequences == bu.sequences
+        for seq, pr in zip(d.sequences, PROMPTS):
+            assert gen0[0] not in seq[len(pr):]
+
+    def test_bad_words_two_token_prefix_rule(self, model):
+        # a 2-token bad word bans the FINAL token only after its prefix:
+        # find the best continuation (a, b), ban [a, b]; a alone stays
+        base, _, _ = _greedy_beams(model, 6)
+        gen0 = base.sequences[0][len(PROMPTS[0]):]
+        a, b2 = gen0[0], gen0[1]
+        bw = [[[a, b2]]] * 3
+        d, p, bu = _greedy_beams(model, 6, bad_words=bw)
+        assert d.sequences == p.sequences == bu.sequences
+        for seq, pr in zip(d.sequences, PROMPTS):
+            gen = seq[len(pr):]
+            for i in range(1, len(gen)):
+                assert not (gen[i - 1] == a and gen[i] == b2)
+
+    def test_stop_sequences_all_paths_equal(self, model):
+        base, _, _ = _greedy_beams(model, 8)
+        gen0 = base.sequences[0][len(PROMPTS[0]):]
+        stop = [gen0[2]]           # single-token stop mid-generation
+        kw = dict(stop_sequences=[[stop], [stop], [stop]])
+        d, p, bu = _greedy_beams(model, 8, **kw)
+        assert d.sequences == p.sequences == bu.sequences
+        for seq, pr in zip(d.sequences, PROMPTS):
+            gen = seq[len(pr):]
+            if stop[0] in gen:
+                # hypothesis cut right after the stop suffix (kept)
+                assert gen[-1] == stop[0]
+
+    def test_two_token_stop_sequence(self, model):
+        base, _, _ = _greedy_beams(model, 8)
+        gen0 = base.sequences[0][len(PROMPTS[0]):]
+        stop = [gen0[1], gen0[2]]
+        kw = dict(stop_sequences=[[stop]] * 3)
+        d, p, bu = _greedy_beams(model, 8, **kw)
+        assert d.sequences == p.sequences == bu.sequences
+        gen = d.sequences[0][len(PROMPTS[0]):]
+        assert gen[:3] == [gen0[0], gen0[1], gen0[2]]
+        assert len(gen) == 3     # stopped exactly at the 2-token suffix
+
+    def test_controls_none_unchanged(self, model):
+        # explicit empty controls take the control-free path
+        d1, p1, b1 = _greedy_beams(model, 6)
+        kw = dict(min_new_tokens=[0, 0, 0], bad_words=[None] * 3,
+                  stop_sequences=[[]] * 3)
+        d2, p2, b2 = _greedy_beams(model, 6, **kw)
+        assert d1.sequences == d2.sequences
+        assert b1.sequences == b2.sequences
+
+    def test_per_request_controls_differ(self, model):
+        # request 0 bans its best token; others unconstrained
+        base, _, _ = _greedy_beams(model, 6)
+        g0 = base.sequences[0][len(PROMPTS[0]):][0]
+        bw = [[[g0]], None, None]
+        d, p, bu = _greedy_beams(model, 6, bad_words=bw)
+        assert d.sequences == p.sequences == bu.sequences
+        assert g0 not in d.sequences[0][len(PROMPTS[0]):]
+        # unconstrained requests match the no-control run
+        assert d.sequences[1] == base.sequences[1]
+        assert d.sequences[2] == base.sequences[2]
+
+
+def test_executor_run_beams_with_controls():
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    base = paged_beam_search(params, cfg, PROMPTS[:2], 6, num_beams=3,
+                             block_size=4)
+    g0 = base.sequences[0][len(PROMPTS[0]):][0]
+
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=64, block_size=4)
+    ex.submit(PROMPTS[0], max_new_tokens=6, bad_words=[[g0]],
+              min_new_tokens=2)
+    ex.submit(PROMPTS[1], max_new_tokens=6,
+              stop_sequences=[[base.sequences[1][len(PROMPTS[1]) + 1]]])
+    done = ex.run_beams(num_beams=3, burst=4)
+    direct = paged_beam_search(
+        params, cfg, PROMPTS[:2], 6, num_beams=3, block_size=4, burst=4,
+        min_new_tokens=[2, 0], bad_words=[[[g0]], None],
+        stop_sequences=[None,
+                        [[base.sequences[1][len(PROMPTS[1]) + 1]]]])
+    for rid, req in done.items():
+        pr = PROMPTS[rid]
+        assert list(pr) + req.generated == direct.sequences[rid]
+    assert g0 not in done[0].generated
+
+
+def test_session_num_beams_forwards_controls():
+    from mixq_tensorrt_llm_tpu.runtime.session import GenerationSession
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    sess = GenerationSession(params, cfg, max_seq_len=64)
+    base = sess.generate(PROMPTS[:1], 6, num_beams=3)
+    g0 = base.sequences[0][len(PROMPTS[0]):][0]
+    out = sess.generate(PROMPTS[:1], 6, num_beams=3, bad_words=[[g0]])
+    assert g0 not in out.sequences[0][len(PROMPTS[0]):]
