@@ -49,29 +49,43 @@ class BeamControls:
     bw: Optional[jax.Array]          # (N, nw, lw) packed bad words
     stops: Optional[jax.Array]       # (N, ns, ls) right-aligned, -1 pad
     stop_len: Optional[jax.Array]    # (N, ns) int32, 0 = unused row
+    proc_masks: Optional[jax.Array] = None   # (N, P) bool lane masks
+    procs: tuple = ()                # P static (name, fn) pairs
 
     def key(self):
         sh = (lambda a: None if a is None else tuple(a.shape))
         return (self.hist_w, sh(self.min_lanes), sh(self.bw),
-                sh(self.stops))
+                sh(self.stops), tuple(n for n, _ in self.procs))
 
     def arrays(self):
-        return (self.min_lanes, self.bw, self.stops, self.stop_len)
+        return (self.min_lanes, self.bw, self.stops, self.stop_len,
+                self.proc_masks)
+
+
+# processor history window — matches the Executor's HISTORY_W so a named
+# processor sees the same (B, 64) right-aligned history on both surfaces
+PROC_HIST_W = 64
 
 
 def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
-                        stop_sequences) -> Optional["BeamControls"]:
+                        stop_sequences, procs=(),
+                        proc_masks=None) -> Optional["BeamControls"]:
     """Pack per-request controls into per-lane arrays; None when no
-    request carries any (the control-free compiled programs stay)."""
+    request carries any (the control-free compiled programs stay).
+
+    procs: static (name, fn) pairs; proc_masks (b, P) bool per-request
+    application masks (the Executor's registered-set model)."""
     b = len(prompts)
     has_min = min_new_tokens is not None and any(min_new_tokens)
     has_bw = bad_words is not None and any(w for w in bad_words if w)
     has_stop = (stop_sequences is not None
                 and any(s for s in stop_sequences if s))
-    if not (has_min or has_bw or has_stop):
+    has_proc = (len(procs) > 0 and proc_masks is not None
+                and bool(np.asarray(proc_masks).any()))
+    if not (has_min or has_bw or has_stop or has_proc):
         return None
     min_lanes = None
-    w_need = 1
+    w_need = 1 if not has_proc else PROC_HIST_W
     if has_min:
         min_lanes = jnp.asarray(
             np.repeat(np.asarray(min_new_tokens, np.int32), k))
@@ -100,7 +114,21 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
         stops = jnp.asarray(np.repeat(arr, k, axis=0))
         stop_len = jnp.asarray(np.repeat(lens, k, axis=0))
         w_need = max(w_need, ls)
-    return BeamControls(int(w_need), min_lanes, bw, stops, stop_len)
+    pm = None
+    if has_proc:
+        pm = jnp.asarray(np.repeat(np.asarray(proc_masks, bool), k,
+                                   axis=0))
+    return BeamControls(int(w_need), min_lanes, bw, stops, stop_len,
+                        pm, tuple(procs) if has_proc else ())
+
+
+def _pack_lora(lora_ids, k: int):
+    """Per-request adapter rows -> ((B,) prefill ids, (B*K,) lane ids),
+    or (None, None) when every request runs the base model."""
+    if lora_ids is None or not any(lora_ids):
+        return None, None
+    req = np.asarray([l or 0 for l in lora_ids], np.int32)
+    return jnp.asarray(req), jnp.asarray(np.repeat(req, k))
 
 
 def _init_hist(prompts, k: int, w: int) -> jax.Array:
@@ -119,7 +147,11 @@ def _ban_logits(raw, hist, ctrl: BeamControls, gen_next, eos: int):
     """Pre-softmax logits controls for one beam step. raw (N, V); hist
     (N, W); gen_next = traced 1-based index (in generated output) of the
     token being chosen. EOS is banned while gen_next <= min_new_tokens —
-    the in-graph form of _append_token's `len(generated) > min_new`."""
+    the in-graph form of _append_token's `len(generated) > min_new`.
+    Named processors run FIRST on the raw logits (sampler.sample order)."""
+    for pi, (_, f) in enumerate(ctrl.procs):
+        raw = jnp.where(ctrl.proc_masks[:, pi][:, None],
+                        f(raw, hist), raw)
     if ctrl.bw is not None:
         raw = ban_bad_words(raw, hist, ctrl.bw)
     if ctrl.min_lanes is not None and eos >= 0:
@@ -156,7 +188,10 @@ def _ban_step0(logp0, ctrl: Optional[BeamControls], prompts, k: int,
                        None if ctrl.min_lanes is None else
                        ctrl.min_lanes[::k],
                        None if ctrl.bw is None else ctrl.bw[::k],
-                       None, None)
+                       None, None,
+                       None if ctrl.proc_masks is None else
+                       ctrl.proc_masks[::k],
+                       ctrl.procs)
     raw = _ban_logits(logp0, hist, req, jnp.int32(1), eos)
     return jax.nn.log_softmax(raw, axis=-1)
 
@@ -185,16 +220,21 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
                 eos_token_id: Optional[int] = None,
                 max_seq_len: int = 2048,
                 min_new_tokens=None, bad_words=None,
-                stop_sequences=None) -> BeamResult:
+                stop_sequences=None, lora_ids=None,
+                logits_processors=(), proc_masks=None) -> BeamResult:
     """Batched beam search; returns the best hypothesis per prompt.
 
     min_new_tokens / bad_words / stop_sequences: optional PER-REQUEST
     controls (ints / lists of token-id sequences), applied in-graph —
-    see BeamControls."""
+    see BeamControls. lora_ids: per-request runtime adapter rows (0 =
+    base). logits_processors: static (name, fn) pairs with proc_masks
+    (b, P) per-request application masks."""
     b = len(prompts)
     k = num_beams
     ctrl = _pack_beam_controls(prompts, k, min_new_tokens, bad_words,
-                               stop_sequences)
+                               stop_sequences, logits_processors,
+                               proc_masks)
+    lora_req, lora_lane = _pack_lora(lora_ids, k)
     eos_i = -1 if eos_token_id is None else int(eos_token_id)
     lens_list = [len(p) for p in prompts]
     max_prompt = max(lens_list)
@@ -210,7 +250,8 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
 
     @jax.jit
     def prefill(params, tokens, cache, lens):
-        logits, cache = mcommon.forward(params, cfg, tokens, pos, cache, lens)
+        logits, cache = mcommon.forward(params, cfg, tokens, pos, cache,
+                                        lens, lora_ids=lora_req)
         last = jnp.take_along_axis(
             logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
         return jax.nn.log_softmax(last[:, 0], axis=-1), cache
@@ -242,7 +283,7 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
              hist, gen0):
         logits, cache = mcommon.forward(
             params, cfg, cur[:, None], cur_lens[:, None].astype(jnp.int32),
-            cache, cur_lens + 1)
+            cache, cur_lens + 1, lora_ids=lora_lane)
         raw = logits[:, 0].astype(jnp.float32)
         if ctrl is not None:
             raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)
@@ -355,7 +396,8 @@ def paged_beam_search(params, cfg: ModelConfig,
                       block_size: int = 64,
                       burst: int = 1, mesh=None,
                       min_new_tokens=None, bad_words=None,
-                      stop_sequences=None) -> BeamResult:
+                      stop_sequences=None, lora_ids=None,
+                      logits_processors=(), proc_masks=None) -> BeamResult:
     """Beam search over the paged KV pool with block sharing.
 
     min_new_tokens / bad_words / stop_sequences: optional PER-REQUEST
@@ -398,7 +440,9 @@ def paged_beam_search(params, cfg: ModelConfig,
 
     b, k = len(prompts), num_beams
     ctrl = _pack_beam_controls(prompts, k, min_new_tokens, bad_words,
-                               stop_sequences)
+                               stop_sequences, logits_processors,
+                               proc_masks)
+    lora_req, lora_lane = _pack_lora(lora_ids, k)
     eos_i = -1 if eos_token_id is None else int(eos_token_id)
     lens_list = [len(p) for p in prompts]
     max_prompt = max(lens_list)
@@ -466,7 +510,8 @@ def paged_beam_search(params, cfg: ModelConfig,
         idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
         logits, state = mcommon.forward_paged(
             params, cfg, tokens_c, pos_c, state, table, valid,
-            use_kernels=use_k_mesh, mesh=mesh, last_pos=idx)
+            use_kernels=use_k_mesh, mesh=mesh, last_pos=idx,
+            lora_ids=lora_req)
         last = logits[:, 0]
         hit = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
         logp = jnp.where(hit[:, None],
@@ -519,7 +564,8 @@ def paged_beam_search(params, cfg: ModelConfig,
              finished_mask, hist, gen0):
         logits, state = mcommon.forward_paged(
             params, cfg, cur[:, None], cur_lens[:, None].astype(jnp.int32),
-            state, table, cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh)
+            state, table, cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh,
+            lora_ids=lora_lane)
         raw = logits[:, 0].astype(jnp.float32)
         if ctrl is not None:
             raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)
@@ -577,7 +623,8 @@ def paged_beam_search(params, cfg: ModelConfig,
             params, cfg, bm, pools, mb, b, k, burst, max_new_tokens,
             eos_token_id, cur, cur_lens, beam_scores, finished,
             beam_tokens, beam_parents, cow, nl, nb, peak_blocks,
-            mesh=mesh, use_k_mesh=use_k_mesh, ctrl=ctrl, hist=hist)
+            mesh=mesh, use_k_mesh=use_k_mesh, ctrl=ctrl, hist=hist,
+            lora_lane=lora_lane)
         result = _backtrack(prompts, k, beam_tokens, beam_parents,
                             np.asarray(beam_scores), length_penalty,
                             eos_token_id, stop_sequences)
@@ -657,7 +704,7 @@ def _init_tail(cfg: ModelConfig, n_lanes: int, kmax: int, quantized: bool):
 
 def _forward_with_tail(params, cfg: ModelConfig, cur, pools, table, bpos,
                        prefix_len, tails, tidx, use_kernels: bool,
-                       mesh=None):
+                       mesh=None, lora_ids=None):
     """One decode forward where attention = [read-only pool | dense tail]
     (models.common._attention_paged_tail). tails ride the layer scan as
     xs/ys; the pool is a plain (non-carried, non-donated) input — it is
@@ -677,7 +724,7 @@ def _forward_with_tail(params, cfg: ModelConfig, cur, pools, table, bpos,
         x, nc = mcommon.decoder_layer(
             cfg, lp, x, sin, cos, cache, pos, prefix_len,
             block_table=table + lidx * nb, block_pos=bpos,
-            use_kernels=use_kernels, mesh=mesh)
+            use_kernels=use_kernels, mesh=mesh, lora_ids=lora_ids)
         new_tail = {n[5:]: v for n, v in nc.items()
                     if n.startswith("tail_") and n != "tail_idx"}
         return x, new_tail
@@ -694,7 +741,8 @@ _BURST_FNS: dict = {}   # (cfg, b, k, k_eff, ...) -> memoized jitted burst
 
 def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                      eos: int, use_kernels: bool, do_cow: bool,
-                     quantized: bool, mesh=None, ctrl=None):
+                     quantized: bool, mesh=None, ctrl=None,
+                     has_lora: bool = False):
     """Jitted k_eff-step beam burst: per step — forward with tail, top-k
     over (K*V), IN-GRAPH beam reorder of block tables and tails (a lane
     gather, no page copies), score/finished updates — then an IN-GRAPH
@@ -727,7 +775,7 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
     logits controls pre-softmax and carries/reorders the rolling history;
     only shapes enter the memo key — the arrays are call arguments."""
     key = (cfg, b, k, k_eff, eos, use_kernels, do_cow, quantized,
-           mesh, None if ctrl is None else ctrl.key())
+           mesh, None if ctrl is None else ctrl.key(), has_lora)
     hit = _BURST_FNS.get(key)
     if hit is not None:
         return hit
@@ -740,17 +788,18 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
     @functools.partial(jax.jit, donate_argnums=(1,))
     def burst(params, pools, table0, bpos, cur0, prefix_len, scores0, fin0,
               cow_src_own, cow_dst, flush_blk, flush_off, hist0, gen0,
-              ctrl_arrs):
+              ctrl_arrs, lora_ids):
         nl = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
         nb = pools["k"].shape[0] // nl
         tails0 = _init_tail(cfg, n_lanes, k_eff, quantized)
-        c = None if ctrl is None else BeamControls(hist_w, *ctrl_arrs)
+        c = (None if ctrl is None
+             else BeamControls(hist_w, *ctrl_arrs, ctrl.procs))
 
         def step(carry, _):
             cur, tails, tidx, table, lane_ids, scores, fin, hist = carry
             logits, tails = _forward_with_tail(
                 params, cfg, cur, pools, table, bpos, prefix_len, tails,
-                tidx, use_kernels, mesh=mesh)
+                tidx, use_kernels, mesh=mesh, lora_ids=lora_ids)
             raw = logits[:, 0]
             gen_next = gen0 + tidx + 1
             if c is not None:
@@ -839,7 +888,8 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                        max_new_tokens, eos_token_id, cur, cur_lens,
                        beam_scores, finished, beam_tokens, beam_parents,
                        cow, nl, nb, peak_blocks, mesh=None,
-                       use_k_mesh=True, ctrl=None, hist=None):
+                       use_k_mesh=True, ctrl=None, hist=None,
+                       lora_lane=None):
     """Drive the beam decode in k_eff-step compiled bursts.
 
     Per burst: ONE device call runs k_eff [forward+top-k+in-graph reorder]
@@ -941,7 +991,8 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
 
         burst_fn = _make_beam_burst(params, cfg, b, k, k_eff, eos, use_k,
                                     do_cow, quantized, mesh=mesh,
-                                    ctrl=ctrl)
+                                    ctrl=ctrl,
+                                    has_lora=lora_lane is not None)
         table = jnp.asarray(bm.block_table(all_lanes, mb))
         bpos = jnp.asarray(bm.block_pos(all_lanes, mb))
         _mark("host prealloc", t0)
@@ -953,7 +1004,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
                 jnp.asarray(finished), jnp.asarray(cow_src_own),
                 jnp.asarray(cow_dst), jnp.asarray(flush_blk),
                 jnp.asarray(flush_off), hist, jnp.int32(gen_count),
-                None if ctrl is None else ctrl.arrays())
+                None if ctrl is None else ctrl.arrays(), lora_lane)
         parents_np = np.asarray(parents)      # (k_eff, B, K)
         tokens_np = np.asarray(tokens)
         fin_steps_np = np.asarray(fin_steps)  # (k_eff, B, K) post-step

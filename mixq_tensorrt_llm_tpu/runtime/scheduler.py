@@ -1480,12 +1480,13 @@ class Executor:
         request, beams fork tail pages COW — and each request's best
         hypothesis lands in Request.generated. Like the reference's
         engine-wide maxBeamWidth, the beam config is uniform: all queued
-        requests must share max_new_tokens and eos_token_id. Per-request
-        min_new_tokens / bad_words / stop_sequences run IN-GRAPH inside
-        the beam step (runtime.beam.BeamControls — the reference's
+        requests must share max_new_tokens and eos_token_id. The FULL
+        per-request surface applies: min_new_tokens / bad_words /
+        stop_sequences / named logits processors run IN-GRAPH inside the
+        beam step (runtime.beam.BeamControls — the reference's
         gptDecoderBatch banBadWords/stop-criteria kernels live inside its
-        beam decoder too); named logits processors and LoRA remain
-        unsupported under beams.
+        beam decoder too) and lora_id selects the runtime adapter per
+        request's lanes.
         """
         assert self.num_active == 0 and not self.prefilling, \
             "run_beams drives queued work only (drain decode work first)"
@@ -1503,13 +1504,18 @@ class Executor:
         assert len(budgets) == 1 and len(eoses) == 1, \
             "run_beams needs uniform max_new_tokens and eos across the " \
             f"queue (got budgets {budgets}, eos {eoses})"
-        for r in self.queue:
-            assert not (r.logits_processor or r.lora_id), \
-                "logits processors / LoRA unsupported in beam mode"
         n, eos = budgets.pop(), eoses.pop()
+        procs = tuple(zip(self._proc_names, self._proc_fns))
         while self.queue:
             batch = [self.queue.popleft()
                      for _ in range(min(self.max_batch, len(self.queue)))]
+            pm = None
+            if procs and any(r.logits_processor for r in batch):
+                pm = np.zeros((len(batch), len(procs)), bool)
+                for i, r in enumerate(batch):
+                    if r.logits_processor is not None:
+                        pm[i, self._proc_names.index(
+                            r.logits_processor)] = True
             res = paged_beam_search(
                 self.params, self.cfg, [r.prompt for r in batch], n,
                 num_beams=num_beams, length_penalty=length_penalty,
@@ -1517,7 +1523,10 @@ class Executor:
                 block_size=self.block_size, burst=burst, mesh=self.mesh,
                 min_new_tokens=[r.min_new_tokens for r in batch],
                 bad_words=[r.bad_words for r in batch],
-                stop_sequences=[r.stop_sequences for r in batch])
+                stop_sequences=[r.stop_sequences for r in batch],
+                lora_ids=[r.lora_id for r in batch],
+                logits_processors=procs if pm is not None else (),
+                proc_masks=pm)
             for r, seq in zip(batch, res.sequences):
                 r.generated = list(seq[len(r.prompt):])
                 r.done = True

@@ -143,11 +143,10 @@ class GenerationSession:
         sampling and logits_processors do not.
         """
         if num_beams > 1:
-            if logits_processors:
-                raise ValueError("logits_processors are not supported "
-                                 "with beam search")
             from .beam import paged_beam_search
             nb_ = len(prompts)
+            procs = tuple((f"p{i}", f)
+                          for i, f in enumerate(logits_processors))
             res = paged_beam_search(
                 self.params, self.cfg, [list(p) for p in prompts],
                 max_new_tokens, num_beams=num_beams,
@@ -155,7 +154,10 @@ class GenerationSession:
                 max_seq_len=self.max_seq_len,
                 min_new_tokens=[min_new_tokens] * nb_,
                 bad_words=[bad_words] * nb_,
-                stop_sequences=[stop_sequences] * nb_)
+                stop_sequences=[stop_sequences] * nb_,
+                logits_processors=procs,
+                proc_masks=(np.ones((nb_, len(procs)), bool)
+                            if procs else None))
             return GenerationOutput(
                 sequences=res.sequences,
                 num_prompt_tokens=[len(p) for p in prompts],

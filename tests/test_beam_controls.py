@@ -168,3 +168,97 @@ def test_session_num_beams_forwards_controls():
     g0 = base.sequences[0][len(PROMPTS[0]):][0]
     out = sess.generate(PROMPTS[:1], 6, num_beams=3, bad_words=[[g0]])
     assert g0 not in out.sequences[0][len(PROMPTS[0]):]
+
+
+# ---------------------------------------------------------------------------
+# Named logits processors and runtime LoRA under beams
+# ---------------------------------------------------------------------------
+
+def _ban_proc(tok):
+    def f(logits, history):
+        return logits.at[:, tok].set(-1e9)
+    return f
+
+
+class TestBeamProcsAndLora:
+    def test_processor_all_paths_equal(self, model):
+        base, _, _ = _greedy_beams(model, 6)
+        g0 = base.sequences[0][len(PROMPTS[0]):][0]
+        procs = (("ban", _ban_proc(g0)),)
+        pm = np.ones((3, 1), bool)
+        kw = dict(logits_processors=procs, proc_masks=pm)
+        d, p, bu = _greedy_beams(model, 6, **kw)
+        assert d.sequences == p.sequences == bu.sequences
+        for seq, pr in zip(d.sequences, PROMPTS):
+            assert g0 not in seq[len(pr):]
+
+    def test_processor_mask_selects_requests(self, model):
+        base, _, _ = _greedy_beams(model, 6)
+        g0 = base.sequences[0][len(PROMPTS[0]):][0]
+        procs = (("ban", _ban_proc(g0)),)
+        pm = np.zeros((3, 1), bool)
+        pm[0, 0] = True
+        d, p, bu = _greedy_beams(model, 6, logits_processors=procs,
+                                 proc_masks=pm)
+        assert d.sequences == p.sequences == bu.sequences
+        assert g0 not in d.sequences[0][len(PROMPTS[0]):]
+        assert d.sequences[1] == base.sequences[1]
+        assert d.sequences[2] == base.sequences[2]
+
+    def test_lora_all_paths_equal_and_distinct(self, model):
+        params, cfg = model
+        import copy
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(lambda a: a, params)  # shallow ok
+        params["layers"] = {k: dict(v) for k, v in params["layers"].items()}
+        rng = np.random.default_rng(3)
+        h = cfg.hidden_size
+        L, R = cfg.num_layers, 4
+        A = np.zeros((L, 2, h, R), np.float32)
+        B = np.zeros((L, 2, R, h), np.float32)
+        A[:, 1] = rng.normal(size=(L, h, R)) * 0.05
+        B[:, 1] = rng.normal(size=(L, R, h)) * 0.05
+        params["layers"]["o_proj"]["lora_A"] = jnp.asarray(A)
+        params["layers"]["o_proj"]["lora_B"] = jnp.asarray(B)
+        m2 = (params, cfg)
+        base, _, _ = _greedy_beams(m2, 6)             # no lora_ids
+        zero, _, _ = _greedy_beams(m2, 6, lora_ids=[0, 0, 0])
+        assert zero.sequences == base.sequences       # id 0 == base
+        d, p, bu = _greedy_beams(m2, 6, lora_ids=[1, 1, 1])
+        assert d.sequences == p.sequences == bu.sequences
+        assert d.sequences != base.sequences          # adapter acts
+        # per-request isolation: req 1 on base, others on adapter
+        mix, _, _ = _greedy_beams(m2, 6, lora_ids=[1, 0, 1])
+        assert mix.sequences[1] == base.sequences[1]
+        assert mix.sequences[0] == d.sequences[0]
+
+
+def test_executor_run_beams_processor_and_lora():
+    import jax.numpy as jnp
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    h, L, R = cfg.hidden_size, cfg.num_layers, 4
+    A = np.zeros((L, 2, h, R), np.float32)
+    B = np.zeros((L, 2, R, h), np.float32)
+    A[:, 1] = rng.normal(size=(L, h, R)) * 0.05
+    B[:, 1] = rng.normal(size=(L, R, h)) * 0.05
+    params["layers"]["o_proj"]["lora_A"] = jnp.asarray(A)
+    params["layers"]["o_proj"]["lora_B"] = jnp.asarray(B)
+
+    base = paged_beam_search(params, cfg, PROMPTS[:2], 6, num_beams=3,
+                             block_size=4)
+    g0 = base.sequences[0][len(PROMPTS[0]):][0]
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=64, block_size=4,
+                  logits_processors={"ban": _ban_proc(g0)})
+    ex.submit(PROMPTS[0], max_new_tokens=6, logits_processor="ban")
+    ex.submit(PROMPTS[1], max_new_tokens=6, lora_id=1)
+    done = ex.run_beams(num_beams=3, burst=4)
+    assert g0 not in done[0].generated
+    direct = paged_beam_search(
+        params, cfg, PROMPTS[:2], 6, num_beams=3, block_size=4, burst=4,
+        lora_ids=[0, 1], logits_processors=(("ban", _ban_proc(g0)),),
+        proc_masks=np.array([[True], [False]]))
+    for rid, req in done.items():
+        assert list(PROMPTS[rid]) + req.generated == direct.sequences[rid]
