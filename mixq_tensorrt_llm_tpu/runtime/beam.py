@@ -427,12 +427,28 @@ def paged_beam_search(params, cfg: ModelConfig,
     # the reference's beam path inside its TP engine
     # (tensorrt_llm/runtime/generation.py beam search under NCCL).
     use_k_mesh = True
+    pp_n = 1
     if mesh is not None and mesh.size > 1:
         tp = int(mesh.shape.get("tp", 1))
-        assert int(mesh.shape.get("pp", 1)) == 1, \
-            "beam search supports tp-only meshes"
-        use_k_mesh = (tp == mesh.size and cfg.num_kv_heads % tp == 0
-                      and kernel_enabled("MIXQ_PAGED_KERNEL"))
+        pp_n = int(mesh.shape.get("pp", 1))
+        if pp_n > 1:
+            # pp beams: every forward runs the stage-pipelined shard_map
+            # (models.common.forward_paged_pp — stage-sharded layer slabs
+            # AND pages, ppermute hops, last-stage logits psum-replicated)
+            # on the PER-STEP plane; the in-graph burst program remains
+            # tp-only (its dense layer-scan tails would need stage
+            # sharding). The reference's beam path runs inside its pp
+            # engine the same way — one pipelined forward per beam step
+            # (generation.py beam search under the pp NCCL loop).
+            assert mesh.size == pp_n * tp, \
+                f"pp beam mesh must be pp x tp (got {dict(mesh.shape)})"
+            assert cfg.num_layers % pp_n == 0, (cfg.num_layers, pp_n)
+            use_k_mesh = ((tp == 1 or cfg.num_kv_heads % tp == 0)
+                          and kernel_enabled("MIXQ_PAGED_KERNEL"))
+            burst = 1
+        else:
+            use_k_mesh = (tp == mesh.size and cfg.num_kv_heads % tp == 0
+                          and kernel_enabled("MIXQ_PAGED_KERNEL"))
         # use_k_mesh False keeps the mesh: the jnp/GSPMD plane still
         # serves (correct, slower), exactly like the Executor fallback
     elif mesh is not None:
@@ -508,10 +524,15 @@ def paged_beam_search(params, cfg: ModelConfig,
         pos_c = start + jnp.arange(c, dtype=jnp.int32)[None, :]
         valid = jnp.minimum(lens, start[:, 0] + c)
         idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
-        logits, state = mcommon.forward_paged(
-            params, cfg, tokens_c, pos_c, state, table, valid,
-            use_kernels=use_k_mesh, mesh=mesh, last_pos=idx,
-            lora_ids=lora_req)
+        if pp_n > 1:
+            logits, state = mcommon.forward_paged_pp(
+                params, cfg, mesh, tokens_c, pos_c, state, table, valid,
+                use_kernels=use_k_mesh, last_pos=idx, lora_ids=lora_req)
+        else:
+            logits, state = mcommon.forward_paged(
+                params, cfg, tokens_c, pos_c, state, table, valid,
+                use_kernels=use_k_mesh, mesh=mesh, last_pos=idx,
+                lora_ids=lora_req)
         last = logits[:, 0]
         hit = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
         logp = jnp.where(hit[:, None],
@@ -562,10 +583,17 @@ def paged_beam_search(params, cfg: ModelConfig,
     @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, cur, state, table, cur_lens, beam_scores,
              finished_mask, hist, gen0):
-        logits, state = mcommon.forward_paged(
-            params, cfg, cur[:, None], cur_lens[:, None].astype(jnp.int32),
-            state, table, cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh,
-            lora_ids=lora_lane)
+        if pp_n > 1:
+            logits, state = mcommon.forward_paged_pp(
+                params, cfg, mesh, cur[:, None],
+                cur_lens[:, None].astype(jnp.int32), state, table,
+                cur_lens + 1, use_kernels=use_k_mesh, lora_ids=lora_lane)
+        else:
+            logits, state = mcommon.forward_paged(
+                params, cfg, cur[:, None],
+                cur_lens[:, None].astype(jnp.int32), state, table,
+                cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh,
+                lora_ids=lora_lane)
         raw = logits[:, 0].astype(jnp.float32)
         if ctrl is not None:
             raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)

@@ -1492,10 +1492,9 @@ class Executor:
             "run_beams drives queued work only (drain decode work first)"
         # tp meshes run the whole beam engine sharded (r3 VERDICT missing
         # #4 closed — kernel_shard.decode_attention_stats serves the pool
-        # prefix per head shard); pp beams remain unsupported
-        assert self.mesh is None or \
-            int(self.mesh.shape.get("pp", 1)) == 1, \
-            "run_beams: tp-only meshes (no pp)"
+        # prefix per head shard); pp meshes run every beam forward through
+        # the stage-pipelined shard_map on the per-step plane
+        # (beam.paged_beam_search pp_n branch)
         from .beam import paged_beam_search
         if not self.queue:
             return self.finished

@@ -262,3 +262,32 @@ def test_executor_run_beams_processor_and_lora():
         proc_masks=np.array([[True], [False]]))
     for rid, req in done.items():
         assert list(PROMPTS[rid]) + req.generated == direct.sequences[rid]
+
+
+def test_beams_under_pp_mesh(monkeypatch):
+    """pp and pp x tp meshes run beam search through the stage-pipelined
+    forward (models.common.forward_paged_pp), output-equal to the
+    single-device engine (the last beam-topology gap: the reference's
+    beam path runs inside its pp engine, generation.py)."""
+    from jax.sharding import Mesh
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1]]
+
+    def run(mesh):
+        ex = Executor(params, cfg, max_batch=2, max_seq_len=48,
+                      block_size=8, mesh=mesh)
+        ids = [ex.submit(p, max_new_tokens=6, min_new_tokens=2)
+               for p in prompts]
+        done = ex.run_beams(num_beams=3)
+        return [done[r].generated for r in ids]
+
+    want = run(None)
+    devs = np.array(jax.devices())
+    pp2 = Mesh(devs[:2], ("pp",))
+    assert run(pp2) == want
+    pp2tp2 = Mesh(devs[:4].reshape(2, 2), ("pp", "tp"))
+    assert run(pp2tp2) == want
