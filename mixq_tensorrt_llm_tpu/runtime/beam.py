@@ -387,6 +387,111 @@ def _copy_pages(pools: dict, src: jax.Array, dst: jax.Array) -> dict:
     return {name: p.at[dst].set(p[src]) for name, p in pools.items()}
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _cow_jit(pools, src, dst):
+    return _copy_pages(pools, src, dst)
+
+
+# Module-level memoized beam programs (like _BURST_FNS): per-call jit
+# closures retraced on every paged_beam_search call and reloaded their
+# executables from the persistent cache (~1 s per program per run_beams
+# batch on chip). Keys carry only static structure; params / packed
+# control arrays / lora ids are call arguments.
+_PREFILL_FNS: dict = {}
+_STEP_FNS: dict = {}
+
+
+def _make_beam_prefill(cfg: ModelConfig, use_k: bool, mesh, pp_n: int):
+    key = (cfg, use_k, mesh, pp_n)
+    hit = _PREFILL_FNS.get(key)
+    if hit is not None:
+        return hit
+    from ..models import common as mc
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def prefill_chunk(params, tokens_c, state, table, start, lens, logp,
+                      lora_req):
+        c = tokens_c.shape[1]
+        pos_c = start + jnp.arange(c, dtype=jnp.int32)[None, :]
+        valid = jnp.minimum(lens, start[:, 0] + c)
+        idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
+        if pp_n > 1:
+            logits, state = mc.forward_paged_pp(
+                params, cfg, mesh, tokens_c, pos_c, state, table, valid,
+                use_kernels=use_k, last_pos=idx, lora_ids=lora_req)
+        else:
+            logits, state = mc.forward_paged(
+                params, cfg, tokens_c, pos_c, state, table, valid,
+                use_kernels=use_k, mesh=mesh, last_pos=idx,
+                lora_ids=lora_req)
+        last = logits[:, 0]
+        hit_ = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
+        logp = jnp.where(hit_[:, None],
+                         jax.nn.log_softmax(last, axis=-1), logp)
+        return logp, state
+
+    _PREFILL_FNS[key] = prefill_chunk
+    return prefill_chunk
+
+
+def _make_beam_step(cfg: ModelConfig, b: int, k: int, eos_i: int,
+                    use_k: bool, mesh, pp_n: int, ctrl):
+    key = (cfg, b, k, eos_i, use_k, mesh, pp_n,
+           None if ctrl is None else ctrl.key())
+    hit = _STEP_FNS.get(key)
+    if hit is not None:
+        return hit
+    from ..models import common as mc
+    hist_w = 0 if ctrl is None else ctrl.hist_w
+    procs = () if ctrl is None else ctrl.procs
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(params, cur, state, table, cur_lens, beam_scores,
+             finished_mask, hist, gen0, ctrl_arrs, lora_lane):
+        c = (None if ctrl is None
+             else BeamControls(hist_w, *ctrl_arrs, procs))
+        if pp_n > 1:
+            logits, state = mc.forward_paged_pp(
+                params, cfg, mesh, cur[:, None],
+                cur_lens[:, None].astype(jnp.int32), state, table,
+                cur_lens + 1, use_kernels=use_k, lora_ids=lora_lane)
+        else:
+            logits, state = mc.forward_paged(
+                params, cfg, cur[:, None],
+                cur_lens[:, None].astype(jnp.int32), state, table,
+                cur_lens + 1, use_kernels=use_k, mesh=mesh,
+                lora_ids=lora_lane)
+        raw = logits[:, 0].astype(jnp.float32)
+        if c is not None:
+            raw = _ban_logits(raw, hist, c, gen0 + 1, eos_i)
+        logp = jax.nn.log_softmax(raw, axis=-1)
+        v = logp.shape[-1]
+        logp = logp.reshape(b, k, v)
+        cont = jnp.where(finished_mask[:, :, None], NEG_INF, logp)
+        cont = cont.at[:, :, 0].set(
+            jnp.where(finished_mask, 0.0, cont[:, :, 0]))
+        total = beam_scores[:, :, None] + cont
+        flat = total.reshape(b, k * v)
+        new_scores, idx = jax.lax.top_k(flat, k)
+        parent = idx // v
+        token = (idx % v).astype(jnp.int32)
+        fin = jnp.take_along_axis(finished_mask, parent, axis=1)
+        if eos_i >= 0:
+            fin = fin | (token == eos_i)
+        if c is not None:
+            rows = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
+            hist = jnp.take(hist, rows, axis=0)
+            hist = jnp.concatenate(
+                [hist[:, 1:], token.reshape(b * k)[:, None]], axis=1)
+            sh = _stop_hits(hist, c, gen0 + 1)
+            if sh is not None:
+                fin = fin | sh.reshape(b, k)
+        return state, new_scores, parent, token, fin, hist
+
+    _STEP_FNS[key] = step
+    return step
+
+
 def paged_beam_search(params, cfg: ModelConfig,
                       prompts: Sequence[Sequence[int]],
                       max_new_tokens: int, num_beams: int = 4,
@@ -397,7 +502,8 @@ def paged_beam_search(params, cfg: ModelConfig,
                       burst: int = 1, mesh=None,
                       min_new_tokens=None, bad_words=None,
                       stop_sequences=None, lora_ids=None,
-                      logits_processors=(), proc_masks=None) -> BeamResult:
+                      logits_processors=(), proc_masks=None,
+                      prefill_bucket: bool = True) -> BeamResult:
     """Beam search over the paged KV pool with block sharing.
 
     min_new_tokens / bad_words / stop_sequences: optional PER-REQUEST
@@ -462,6 +568,16 @@ def paged_beam_search(params, cfg: ModelConfig,
     eos_i = -1 if eos_token_id is None else int(eos_token_id)
     lens_list = [len(p) for p in prompts]
     max_prompt = max(lens_list)
+    if prefill_bucket:
+        # pow2 prompt-width bucket: the prefill/burst program SET becomes
+        # bounded (warmable — Executor.warmup_beams), like the executor's
+        # adaptive-chunk ladder. Padded positions ride the existing
+        # ragged-lens masking; per-lane block lists still use true lens.
+        bkt = 8
+        while bkt < max_prompt:
+            bkt *= 2
+        if bkt + max_new_tokens <= max_seq_len:
+            max_prompt = bkt
     assert max_prompt + max_new_tokens <= max_seq_len
     if _on_tpu() and cfg.quant.kv_cache.name == "INT8" and block_size < 128:
         block_size = 128   # TPU decode-kernel constraint (see Executor)
@@ -485,6 +601,13 @@ def paged_beam_search(params, cfg: ModelConfig,
         + b * k * per_lane,
         block_size=block_size)
     mb = -(-(max_prompt + max_new_tokens + slack) // block_size)
+    if prefill_bucket and mb > 1:
+        # pow2 table width: nearby (prompt, max_new) geometries share the
+        # same compiled programs (the table is a shape arg to the
+        # memoized prefill/step/burst fns); padding entries repeat the
+        # last real page and are masked by kv_valid_len like any ragged
+        # lane
+        mb = 1 << (mb - 1).bit_length()
     state = pkv.init_paged_kv(cfg, bm.num_blocks, block_size)
     if mesh is not None:
         from ..parallel import sharding as psh
@@ -513,39 +636,21 @@ def paged_beam_search(params, cfg: ModelConfig,
     # a full-prompt call materialized (B, S, vocab) f32 logits (1+ GB at
     # 7B/512); the last_pos head slice killed that transient, so chunks
     # are now bounded only by activation memory — 512 halves the dispatch
-    # count at the bench shape
+    # count at the bench shape. The program is MEMOIZED module-level
+    # (_make_beam_prefill); with prompt bucketing the chunk widths are
+    # pow2 <= 512, so serving hits a bounded, warmable program set.
     chunk = min(512, max_prompt)
     if max_prompt % chunk:
         chunk = max_prompt   # ragged tail: single call (small prompts)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def prefill_chunk(params, tokens_c, state, table, start, lens, logp):
-        c = tokens_c.shape[1]
-        pos_c = start + jnp.arange(c, dtype=jnp.int32)[None, :]
-        valid = jnp.minimum(lens, start[:, 0] + c)
-        idx = jnp.clip(lens - 1 - start[:, 0], 0, c - 1)
-        if pp_n > 1:
-            logits, state = mcommon.forward_paged_pp(
-                params, cfg, mesh, tokens_c, pos_c, state, table, valid,
-                use_kernels=use_k_mesh, last_pos=idx, lora_ids=lora_req)
-        else:
-            logits, state = mcommon.forward_paged(
-                params, cfg, tokens_c, pos_c, state, table, valid,
-                use_kernels=use_k_mesh, mesh=mesh, last_pos=idx,
-                lora_ids=lora_req)
-        last = logits[:, 0]
-        hit = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
-        logp = jnp.where(hit[:, None],
-                         jax.nn.log_softmax(last, axis=-1), logp)
-        return logp, state
-
+    prefill_chunk = _make_beam_prefill(cfg, use_k_mesh, mesh, pp_n)
     logp0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
     state = to_state(pools)
     for c0 in range(0, max_prompt, chunk):
         start = jnp.full((b, 1), c0, jnp.int32)
         logp0, state = prefill_chunk(
             params, jnp.asarray(tokens[:, c0:c0 + chunk]), state, table_p,
-            start, lens, logp0)
+            start, lens, logp0, lora_req)
     pools = {"k": state.k, "v": state.v}
     if state.quantized:
         pools.update(k_scale=state.k_scale, v_scale=state.v_scale)
@@ -576,50 +681,8 @@ def paged_beam_search(params, cfg: ModelConfig,
 
     n_lanes = b * k
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def cow(pools, src, dst):
-        return _copy_pages(pools, src, dst)
-
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(params, cur, state, table, cur_lens, beam_scores,
-             finished_mask, hist, gen0):
-        if pp_n > 1:
-            logits, state = mcommon.forward_paged_pp(
-                params, cfg, mesh, cur[:, None],
-                cur_lens[:, None].astype(jnp.int32), state, table,
-                cur_lens + 1, use_kernels=use_k_mesh, lora_ids=lora_lane)
-        else:
-            logits, state = mcommon.forward_paged(
-                params, cfg, cur[:, None],
-                cur_lens[:, None].astype(jnp.int32), state, table,
-                cur_lens + 1, use_kernels=use_k_mesh, mesh=mesh,
-                lora_ids=lora_lane)
-        raw = logits[:, 0].astype(jnp.float32)
-        if ctrl is not None:
-            raw = _ban_logits(raw, hist, ctrl, gen0 + 1, eos_i)
-        logp = jax.nn.log_softmax(raw, axis=-1)
-        v = logp.shape[-1]
-        logp = logp.reshape(b, k, v)
-        cont = jnp.where(finished_mask[:, :, None], NEG_INF, logp)
-        cont = cont.at[:, :, 0].set(
-            jnp.where(finished_mask, 0.0, cont[:, :, 0]))
-        total = beam_scores[:, :, None] + cont
-        flat = total.reshape(b, k * v)
-        new_scores, idx = jax.lax.top_k(flat, k)
-        parent = idx // v
-        token = (idx % v).astype(jnp.int32)
-        fin = jnp.take_along_axis(finished_mask, parent, axis=1)
-        if eos_i >= 0:
-            fin = fin | (token == eos_i)
-        if ctrl is not None:
-            rows = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
-            hist = jnp.take(hist, rows, axis=0)
-            hist = jnp.concatenate(
-                [hist[:, 1:], token.reshape(b * k)[:, None]], axis=1)
-            sh = _stop_hits(hist, ctrl, gen0 + 1)
-            if sh is not None:
-                fin = fin | sh.reshape(b, k)
-        return state, new_scores, parent, token, fin, hist
+    cow = _cow_jit
+    step = _make_beam_step(cfg, b, k, eos_i, use_k_mesh, mesh, pp_n, ctrl)
 
     nl = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
     nb = bm.num_blocks
@@ -669,7 +732,8 @@ def paged_beam_search(params, cfg: ModelConfig,
         state, beam_scores, parent, token, fin_d, hist = step(
             params, cur, to_state(pools), table,
             jnp.asarray(cur_lens, jnp.int32), beam_scores,
-            jnp.asarray(finished), hist, gen0)
+            jnp.asarray(finished), hist, gen0,
+            None if ctrl is None else ctrl.arrays(), lora_lane)
         pools = {"k": state.k, "v": state.v}
         if state.quantized:
             pools.update(k_scale=state.k_scale, v_scale=state.v_scale)

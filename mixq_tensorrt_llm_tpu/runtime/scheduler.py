@@ -1469,6 +1469,41 @@ class Executor:
             from ..utils import compile_watch
             self._warm_compile_mark = compile_watch.compile_count()
 
+    def warmup_beams(self, num_beams: int = 4, burst: int = 16,
+                     prompt_bucket: int = 512, max_new_tokens: int = 64,
+                     eos_token_id=None) -> None:
+        """Precompile the beam-serving program set for (max_batch,
+        num_beams, burst, prompt_bucket, max_new_tokens): the bucketed
+        prefill chunks, the burst rungs that exact max_new_tokens budget
+        produces (one full rung + one pow2-ceiling tail), and BOTH
+        copy-on-write variants — one run with page-aligned prompt lens
+        (first burst cow-free) and one with an unaligned lane (cow from
+        the first burst). Full serving batches sharing the bucketed
+        geometry and eos then hit only warmed programs — the compile
+        contract (utils/compile_watch, reference builder.py engine
+        precompile) extended to run_beams; a PARTIAL final batch (b <
+        max_batch) is its own geometry and compiles on first sight."""
+        from .beam import paged_beam_search
+        b = self.max_batch
+        pb = min(prompt_bucket, self.max_seq_len - max_new_tokens)
+        p2 = 8
+        while p2 * 2 <= pb:
+            p2 *= 2
+        pb = min(p2, pb)   # pow2: both variants land in ONE bucket
+        variants = [[pb] * b]
+        if pb > 1:
+            unaligned = [pb] * b
+            unaligned[0] = pb - 1
+            variants.append(unaligned)
+        for plens in variants:
+            paged_beam_search(
+                self.params, self.cfg, [[1] * L for L in plens],
+                max_new_tokens, num_beams=num_beams,
+                eos_token_id=eos_token_id, max_seq_len=self.max_seq_len,
+                block_size=self.block_size, burst=burst, mesh=self.mesh)
+        from ..utils import compile_watch
+        self._warm_compile_mark = compile_watch.compile_count()
+
     def run_beams(self, num_beams: int = 4, length_penalty: float = 1.0,
                   burst: int = 16) -> Dict[int, Request]:
         """Drive all QUEUED requests with paged copy-on-write beam search

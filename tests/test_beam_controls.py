@@ -291,3 +291,46 @@ def test_beams_under_pp_mesh(monkeypatch):
     assert run(pp2) == want
     pp2tp2 = Mesh(devs[:4].reshape(2, 2), ("pp", "tp"))
     assert run(pp2tp2) == want
+
+
+def test_beam_warmup_compile_contract():
+    """warmup_beams precompiles the beam-serving program set; full
+    serving batches at the same bucketed geometry then trigger ZERO new
+    XLA compilations (the engine contract of utils/compile_watch,
+    extended to run_beams — memoized module-level prefill/step/burst
+    programs + pow2 prompt and table-width buckets)."""
+    from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+    from mixq_tensorrt_llm_tpu.utils import compile_watch
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    ex = Executor(params, cfg, max_batch=2, max_seq_len=64, block_size=4)
+    ex.warmup_beams(num_beams=3, burst=4, prompt_bucket=8,
+                    max_new_tokens=6)
+    mark = compile_watch.compile_count()
+    # two serving batches, ragged lens within the bucket, aligned and
+    # unaligned boundaries
+    for plens in ((3, 7), (4, 8)):
+        for L in plens:
+            ex.submit(list(range(1, L + 1)), max_new_tokens=6)
+        ex.run_beams(num_beams=3, burst=4)
+    assert compile_watch.compile_count() == mark, \
+        "beam serving compiled after warmup_beams"
+    # a deliberately different geometry (new beam width) DOES compile
+    ex.submit([1, 2, 3], max_new_tokens=6)
+    ex.submit([4, 5], max_new_tokens=6)
+    ex.run_beams(num_beams=2, burst=4)
+    assert compile_watch.compile_count() > mark
+
+
+def test_beam_bucketing_preserves_outputs():
+    """Prompt/table bucketing is exactness-neutral: bucketed vs exact
+    shapes produce identical sequences."""
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(num_beams=3, block_size=4)
+    for burst in (1, 4):
+        a = paged_beam_search(params, cfg, PROMPTS, 6, burst=burst,
+                              prefill_bucket=True, **kw)
+        b2 = paged_beam_search(params, cfg, PROMPTS, 6, burst=burst,
+                               prefill_bucket=False, **kw)
+        assert a.sequences == b2.sequences, burst
