@@ -33,10 +33,16 @@ cur = jnp.ones((n,), jnp.int32)
 plen = jnp.full((n,), max_prompt, jnp.int32)
 scores = jnp.zeros((b, k), jnp.float32)
 fin = jnp.zeros((b, k), bool)
-tails = rbeam._init_tail(cfg, n, k_eff, True)
-fn = rbeam._make_beam_burst(params, cfg, b, k, k_eff, -1, True)
+fn = rbeam._make_beam_burst(params, cfg, b, k, k_eff, -1, True,
+                            do_cow=True, quantized=True)
+cow_src = jnp.zeros((n,), jnp.int32)
+cow_dst = jnp.zeros((n,), jnp.int32)
+flush_blk = jnp.zeros((n, k_eff), jnp.int32)
+flush_off = jnp.zeros((n, k_eff), jnp.int32)
 t0 = time.time()
-lowered = fn.lower(params, pools, table, bpos, cur, plen, scores, fin, tails)
+lowered = fn.lower(params, pools, table, bpos, cur, plen, scores, fin,
+                   cow_src, cow_dst, flush_blk, flush_off, None,
+                   jnp.int32(1), None, None)
 comp = lowered.compile()
 ma = comp.memory_analysis()
 print(f"compiled in {time.time()-t0:.0f}s")
