@@ -53,9 +53,12 @@ class BeamControls:
     procs: tuple = ()                # P static (name, fn) pairs
 
     def key(self):
+        # procs enter the key as the (name, fn) pairs themselves — names
+        # alone would let two executors registering different callables
+        # under one name share a stale compiled program
         sh = (lambda a: None if a is None else tuple(a.shape))
         return (self.hist_w, sh(self.min_lanes), sh(self.bw),
-                sh(self.stops), tuple(n for n, _ in self.procs))
+                sh(self.stops), tuple(self.procs))
 
     def arrays(self):
         return (self.min_lanes, self.bw, self.stops, self.stop_len,
