@@ -70,6 +70,13 @@ class BeamControls:
 PROC_HIST_W = 64
 
 
+def _p2(n: int, lo: int = 1) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
 def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
                         stop_sequences, procs=(),
                         proc_masks=None) -> Optional["BeamControls"]:
@@ -77,7 +84,12 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
     request carries any (the control-free compiled programs stay).
 
     procs: static (name, fn) pairs; proc_masks (b, P) bool per-request
-    application masks (the Executor's registered-set model)."""
+    application masks (the Executor's registered-set model).
+
+    All packed widths (word count/length, stop count/length, history)
+    bucket to pow2 so batches with similar control shapes share compiled
+    step/burst programs (pad rows/columns are inert — BW_PAD words,
+    zero-length stops)."""
     b = len(prompts)
     has_min = min_new_tokens is not None and any(min_new_tokens)
     has_bw = bad_words is not None and any(w for w in bad_words if w)
@@ -95,8 +107,8 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
     bw = None
     if has_bw:
         words = [t for ws in bad_words if ws for t in ws]
-        nw = max(len(ws or []) for ws in bad_words)
-        lw = max(2, max(len(t) for t in words))
+        nw = _p2(max(len(ws or []) for ws in bad_words))
+        lw = _p2(max(2, max(len(t) for t in words)), 2)
         arr = np.full((b, nw, lw), BW_PAD, np.int32)
         for i, ws in enumerate(bad_words):
             for j, t in enumerate(ws or []):
@@ -106,8 +118,8 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
     stops = stop_len = None
     if has_stop:
         seqs = [s for ss in stop_sequences if ss for s in ss]
-        ns = max(len(ss or []) for ss in stop_sequences)
-        ls = max(len(s) for s in seqs)
+        ns = _p2(max(len(ss or []) for ss in stop_sequences))
+        ls = _p2(max(len(s) for s in seqs))
         arr = np.full((b, ns, ls), -1, np.int32)
         lens = np.zeros((b, ns), np.int32)
         for i, ss in enumerate(stop_sequences):
@@ -121,8 +133,8 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
     if has_proc:
         pm = jnp.asarray(np.repeat(np.asarray(proc_masks, bool), k,
                                    axis=0))
-    return BeamControls(int(w_need), min_lanes, bw, stops, stop_len,
-                        pm, tuple(procs) if has_proc else ())
+    return BeamControls(_p2(int(w_need), 8), min_lanes, bw, stops,
+                        stop_len, pm, tuple(procs) if has_proc else ())
 
 
 def _pack_lora(lora_ids, k: int):
@@ -179,13 +191,17 @@ def _stop_hits(hist_new, ctrl: BeamControls, gen_next):
     return jnp.any(m, axis=-1)
 
 
-def _ban_step0(logp0, ctrl: Optional[BeamControls], prompts, k: int,
+def _ban_step0(logits0, ctrl: Optional[BeamControls], prompts, k: int,
                eos: int):
-    """First-token bans applied to the prefill LOG-PROBS: ban then re-run
-    log_softmax — shift-invariance makes that exactly equal to banning
-    the raw logits (the prefill programs stay control-free)."""
-    if ctrl is None:
-        return logp0
+    """First-token controls on the prefill output, then log_softmax.
+
+    When named processors are present, logits0 MUST be the RAW last-token
+    logits (processors see pre-softmax logits everywhere else — the
+    prefill returns raw in that case, _make_beam_prefill(raw=True)).
+    Without processors, logits0 may be log-probs: for pure bans,
+    ban-then-log_softmax is shift-invariant and exactly equals banning
+    the raw logits, so the control-free prefill program is reused."""
+    assert ctrl is not None
     hist = _init_hist(prompts, 1, ctrl.hist_w)           # (B, W) per req
     req = BeamControls(ctrl.hist_w,
                        None if ctrl.min_lanes is None else
@@ -195,7 +211,7 @@ def _ban_step0(logp0, ctrl: Optional[BeamControls], prompts, k: int,
                        None if ctrl.proc_masks is None else
                        ctrl.proc_masks[::k],
                        ctrl.procs)
-    raw = _ban_logits(logp0, hist, req, jnp.int32(1), eos)
+    raw = _ban_logits(logits0, hist, req, jnp.int32(1), eos)
     return jax.nn.log_softmax(raw, axis=-1)
 
 
@@ -251,16 +267,23 @@ def beam_search(params, cfg: ModelConfig, prompts: Sequence[Sequence[int]],
     cache = mcommon.init_kv_cache(cfg, b, max_seq_len)
     pos = jnp.tile(jnp.arange(max_prompt, dtype=jnp.int32), (b, 1))
 
+    # processors must see RAW logits (they are not shift-invariant the
+    # way pure bans are) — prefill returns raw in that case
+    wants_raw = ctrl is not None and bool(ctrl.procs)
+
     @jax.jit
     def prefill(params, tokens, cache, lens):
         logits, cache = mcommon.forward(params, cfg, tokens, pos, cache,
                                         lens, lora_ids=lora_req)
         last = jnp.take_along_axis(
             logits, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
-        return jax.nn.log_softmax(last[:, 0], axis=-1), cache
+        out = (last[:, 0] if wants_raw
+               else jax.nn.log_softmax(last[:, 0], axis=-1))
+        return out, cache
 
     logp0, cache = prefill(params, jnp.asarray(tokens), cache, lens)
-    logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
+    if ctrl is not None:
+        logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
 
     # initial beams: top-k tokens of the prompt's last position
     top_lp, top_tok = jax.lax.top_k(logp0, k)          # (B, K)
@@ -403,9 +426,25 @@ def _cow_jit(pools, src, dst):
 _PREFILL_FNS: dict = {}
 _STEP_FNS: dict = {}
 
+# processor callables enter memo keys by identity, so per-call lambdas
+# (session generate) would grow the dicts without bound — FIFO-evict
+# past the cap: correctness-neutral, an evicted program recompiles on
+# its next hit
+_MEMO_CAP = 128
 
-def _make_beam_prefill(cfg: ModelConfig, use_k: bool, mesh, pp_n: int):
-    key = (cfg, use_k, mesh, pp_n)
+
+def _memo_put(d: dict, key, val):
+    if len(d) >= _MEMO_CAP:
+        d.pop(next(iter(d)))
+    d[key] = val
+    return val
+
+
+def _make_beam_prefill(cfg: ModelConfig, use_k: bool, mesh, pp_n: int,
+                       raw: bool = False):
+    """raw=True accumulates the last-token RAW logits instead of
+    log-probs (named processors are not shift-invariant — _ban_step0)."""
+    key = (cfg, use_k, mesh, pp_n, raw)
     hit = _PREFILL_FNS.get(key)
     if hit is not None:
         return hit
@@ -429,12 +468,11 @@ def _make_beam_prefill(cfg: ModelConfig, use_k: bool, mesh, pp_n: int):
                 lora_ids=lora_req)
         last = logits[:, 0]
         hit_ = (lens - 1 >= start[:, 0]) & (lens - 1 < start[:, 0] + c)
-        logp = jnp.where(hit_[:, None],
-                         jax.nn.log_softmax(last, axis=-1), logp)
+        out = last if raw else jax.nn.log_softmax(last, axis=-1)
+        logp = jnp.where(hit_[:, None], out, logp)
         return logp, state
 
-    _PREFILL_FNS[key] = prefill_chunk
-    return prefill_chunk
+    return _memo_put(_PREFILL_FNS, key, prefill_chunk)
 
 
 def _make_beam_step(cfg: ModelConfig, b: int, k: int, eos_i: int,
@@ -491,8 +529,7 @@ def _make_beam_step(cfg: ModelConfig, b: int, k: int, eos_i: int,
                 fin = fin | sh.reshape(b, k)
         return state, new_scores, parent, token, fin, hist
 
-    _STEP_FNS[key] = step
-    return step
+    return _memo_put(_STEP_FNS, key, step)
 
 
 def paged_beam_search(params, cfg: ModelConfig,
@@ -646,7 +683,9 @@ def paged_beam_search(params, cfg: ModelConfig,
     if max_prompt % chunk:
         chunk = max_prompt   # ragged tail: single call (small prompts)
 
-    prefill_chunk = _make_beam_prefill(cfg, use_k_mesh, mesh, pp_n)
+    wants_raw = ctrl is not None and bool(ctrl.procs)
+    prefill_chunk = _make_beam_prefill(cfg, use_k_mesh, mesh, pp_n,
+                                       raw=wants_raw)
     logp0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
     state = to_state(pools)
     for c0 in range(0, max_prompt, chunk):
@@ -664,7 +703,8 @@ def paged_beam_search(params, cfg: ModelConfig,
             bm.fork(i * k, i * k + j)
     peak_blocks = bm.num_blocks - bm.num_free
 
-    logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
+    if ctrl is not None:
+        logp0 = _ban_step0(logp0, ctrl, prompts, k, eos_i)
     top_lp, top_tok = jax.lax.top_k(logp0, k)           # (B, K)
     beam_scores = top_lp
     beam_tokens = [np.asarray(top_tok).reshape(b * k)]
@@ -956,8 +996,7 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
         pools = _flush_tail(pools, tails, rows, offs)
         return cur, scores_steps, fin_steps, parents, tokens, hist, pools
 
-    _BURST_FNS[key] = burst
-    return burst
+    return _memo_put(_BURST_FNS, key, burst)
 
 
 def _flush_tail(pools: dict, tails: dict, rows, offs):

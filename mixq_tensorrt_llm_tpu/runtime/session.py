@@ -138,15 +138,29 @@ class GenerationSession:
         -1-padded recent tokens. num_beams > 1 switches to deterministic
         beam search over the paged KV pool with block sharing across beams
         (reference SamplingConfig.num_beams + kv_cache_manager beam-width
-        sharing); min_new_tokens / stop_sequences / bad_words apply
-        in-graph inside the beam step (runtime.beam.BeamControls), while
-        sampling and logits_processors do not.
+        sharing); min_new_tokens / stop_sequences / bad_words AND
+        logits_processors apply in-graph inside the beam step
+        (runtime.beam.BeamControls) — only `sampling` does not (beam
+        search is deterministic). Passing the SAME processor callables
+        across generate() calls reuses the compiled beam programs; fresh
+        lambdas per call recompile (bounded by beam._MEMO_CAP).
         """
         if num_beams > 1:
             from .beam import paged_beam_search
             nb_ = len(prompts)
-            procs = tuple((f"p{i}", f)
-                          for i, f in enumerate(logits_processors))
+            pkey = tuple(id(f) for f in logits_processors)
+            cached = getattr(self, "_beam_procs", None)
+            if cached is None or cached[0] != pkey:
+                # stable (name, fn) tuples per processor SET: the tuple
+                # identity feeds beam memo keys, and holding the fns
+                # keeps their ids valid
+                self._beam_procs = (
+                    pkey,
+                    tuple((f"p{i}", f)
+                          for i, f in enumerate(logits_processors)),
+                    list(logits_processors))
+                cached = self._beam_procs
+            procs = cached[1]
             res = paged_beam_search(
                 self.params, self.cfg, [list(p) for p in prompts],
                 max_new_tokens, num_beams=num_beams,

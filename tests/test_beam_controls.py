@@ -334,3 +334,30 @@ def test_beam_bucketing_preserves_outputs():
         b2 = paged_beam_search(params, cfg, PROMPTS, 6, burst=burst,
                                prefill_bucket=False, **kw)
         assert a.sequences == b2.sequences, burst
+
+
+def test_processor_sees_raw_logits_at_step0(model):
+    """Named processors are NOT shift-invariant, so they must see RAW
+    logits at the first beam token too (regression: _ban_step0 used to
+    feed them prefill log-probs, where a >=0 threshold bans everything)."""
+    import jax.numpy as jnp
+    from mixq_tensorrt_llm_tpu.models import common as mcommon
+    params, cfg = model
+
+    def thresh(logits, history):
+        return jnp.where(logits >= 0, logits, -1e9)
+
+    procs = (("thresh", thresh),)
+    pm = np.ones((3, 1), bool)
+    d, p, bu = _greedy_beams(model, 4, logits_processors=procs,
+                             proc_masks=pm)
+    assert d.sequences == p.sequences == bu.sequences
+    for i, pr in enumerate(PROMPTS):
+        toks = np.asarray([pr], np.int32)
+        cache = mcommon.init_kv_cache(cfg, 1, 64)
+        pos = jnp.arange(len(pr))[None, :]
+        logits, _ = mcommon.forward(params, cfg, jnp.asarray(toks), pos,
+                                    cache, jnp.asarray([len(pr)]))
+        raw = np.asarray(logits)[0, len(pr) - 1]
+        tok0 = d.sequences[i][len(pr)]
+        assert raw[tok0] >= 0, (i, tok0, raw[tok0])
