@@ -361,3 +361,23 @@ def test_processor_sees_raw_logits_at_step0(model):
         raw = np.asarray(logits)[0, len(pr) - 1]
         tok0 = d.sequences[i][len(pr)]
         assert raw[tok0] >= 0, (i, tok0, raw[tok0])
+
+
+def test_session_num_beams_forwards_min_new_and_stops():
+    from mixq_tensorrt_llm_tpu.runtime.session import GenerationSession
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    sess = GenerationSession(params, cfg, max_seq_len=64)
+    base = sess.generate(PROMPTS[:1], 8, num_beams=3)
+    gen0 = base.sequences[0][len(PROMPTS[0]):]
+    # stop on the third unconstrained token: generation must cut there
+    out = sess.generate(PROMPTS[:1], 8, num_beams=3,
+                        stop_sequences=[[gen0[2]]])
+    got = out.sequences[0][len(PROMPTS[0]):]
+    assert got == gen0[:3]
+    # min_new with eos = first unconstrained token: eos banned early
+    out2 = sess.generate(PROMPTS[:1], 8, num_beams=3,
+                         eos_token_id=gen0[0], min_new_tokens=4)
+    got2 = out2.sequences[0][len(PROMPTS[0]):]
+    if gen0[0] in got2:
+        assert got2.index(gen0[0]) + 1 > 4
