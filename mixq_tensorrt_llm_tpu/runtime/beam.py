@@ -877,7 +877,7 @@ _BURST_FNS: dict = {}   # (cfg, b, k, k_eff, ...) -> memoized jitted burst
 def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
                      eos: int, use_kernels: bool, do_cow: bool,
                      quantized: bool, mesh=None, ctrl=None,
-                     has_lora: bool = False):
+                     has_lora: bool = False, compact_flush: bool = False):
     """Jitted k_eff-step beam burst: per step — forward with tail, top-k
     over (K*V), IN-GRAPH beam reorder of block tables and tails (a lane
     gather, no page copies), score/finished updates — then an IN-GRAPH
@@ -910,7 +910,8 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
     logits controls pre-softmax and carries/reorders the rolling history;
     only shapes enter the memo key — the arrays are call arguments."""
     key = (cfg, b, k, k_eff, eos, use_kernels, do_cow, quantized,
-           mesh, None if ctrl is None else ctrl.key(), has_lora)
+           mesh, None if ctrl is None else ctrl.key(), has_lora,
+           compact_flush)
     hit = _BURST_FNS.get(key)
     if hit is not None:
         return hit
@@ -993,28 +994,90 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
         rows = (jnp.arange(nl, dtype=jnp.int32)[:, None, None] * nb
                 + flush_blk[None])                           # (L, N, k)
         offs = jnp.broadcast_to(flush_off[None], rows.shape)
-        pools = _flush_tail(pools, tails, rows, offs)
+        pools = _flush_tail(pools, tails, rows, offs,
+                            compact=compact_flush)
         return cur, scores_steps, fin_steps, parents, tokens, hist, pools
 
     return _memo_put(_BURST_FNS, key, burst)
 
 
-def _flush_tail(pools: dict, tails: dict, rows, offs):
+def _want_compact_flush(pools) -> bool:
+    """True when the fast flush's whole-pool transpose-copy HLO temp
+    (~one 'k' pool) would not fit in free HBM — pay the compact form's
+    ~13% throughput instead of an OOM. Backends without memory_stats
+    (CPU tests) take the fast form."""
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        limit, used = ms.get("bytes_limit"), ms.get("bytes_in_use")
+        if not limit or used is None:
+            return False
+        return (limit - used) < pools["k"].nbytes + (1 << 30)
+    except Exception:
+        return False
+
+
+def _flush_tail(pools: dict, tails: dict, rows, offs,
+                compact: bool = False):
     """Write the burst tails into their (freshly exclusive) pool pages:
     one scatter per field, as the burst program's in-graph epilogue.
-    rows/offs (L, N, k) global page row and in-page slot per position."""
-    # pool[rows, :, offs] puts the advanced dims first: (L, N, k, H, D) —
-    # exactly the tail layout, values drop in unpermuted
+    rows/offs (L, N, k) global page row and in-page slot per position.
+
+    Two exact formulations, chosen by `compact` (the caller's HBM
+    headroom heuristic — _burst_decode_loop):
+
+    * compact=False (default, FAST): raw lax.scatter writing each
+      position's (H, D) slab at operand dims (0, 2). XLA's layout
+      assignment materializes a TRANSPOSED copy of the whole pool as an
+      HLO temp (~2.4 GB at 7B/129 blocks) but the scatter itself is
+      32k x 16 KB windows — measured 296 gen tok/s at 16x4x512+64.
+    * compact=True (copy-free): scatter on a (row*H, slot, D) reshape so
+      both advanced index dims lead — no transpose, HLO temp drops ~1 GB+
+      (1.51 vs 2.52 G at k_eff=16), but the index count multiplies by H
+      (1M rows) and costs ~13% throughput (255 vs 296 measured). Used
+      when the fast form's temp copy would not fit — e.g. the ragged
+      COW-margin pool at 16 req x 4 beams x 512+64, which OOM'd by
+      0.27 GB with the copy and serves at 256 tok/s without it."""
+    if compact:
+        out = dict(pools)
+
+        def wrc(pool, val):
+            r, h, s = pool.shape[0], pool.shape[1], pool.shape[2]
+            rh = rows[..., None] * h + jnp.arange(h, dtype=rows.dtype)
+            of = jnp.broadcast_to(offs[..., None], rh.shape)  # (L,N,k,H)
+            flat = pool.reshape((r * h, s) + pool.shape[3:])
+            flat = flat.at[rh, of].set(val.astype(pool.dtype))
+            return flat.reshape(pool.shape)
+
+        out["k"] = wrc(pools["k"], tails["k"])
+        out["v"] = wrc(pools["v"], tails["v"])
+        if "k_scale" in pools:
+            out["k_scale"] = wrc(pools["k_scale"], tails["k_scale"])
+            out["v_scale"] = wrc(pools["v_scale"], tails["v_scale"])
+        return out
+    g = rows.size
+    idx = jnp.stack([rows.reshape(g), offs.reshape(g)], axis=1)  # (G, 2)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),          # updates (G, H, D)
+        inserted_window_dims=(0, 2),        # operand (R, H, S, D)
+        scatter_dims_to_operand_dims=(0, 2))
+    dn_s = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),            # updates (G, H)
+        inserted_window_dims=(0, 2),        # operand (R, H, S)
+        scatter_dims_to_operand_dims=(0, 2))
     out = dict(pools)
-    out["k"] = pools["k"].at[rows, :, offs].set(
-        tails["k"].astype(pools["k"].dtype))
-    out["v"] = pools["v"].at[rows, :, offs].set(
-        tails["v"].astype(pools["v"].dtype))
+
+    def wr(pool, val, dnum):
+        upd = val.reshape((g,) + val.shape[rows.ndim:]).astype(pool.dtype)
+        return jax.lax.scatter(
+            pool, idx, upd, dnum, indices_are_sorted=False,
+            unique_indices=True,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    out["k"] = wr(pools["k"], tails["k"], dn)
+    out["v"] = wr(pools["v"], tails["v"], dn)
     if "k_scale" in pools:
-        out["k_scale"] = pools["k_scale"].at[rows, :, offs].set(
-            tails["k_scale"])
-        out["v_scale"] = pools["v_scale"].at[rows, :, offs].set(
-            tails["v_scale"])
+        out["k_scale"] = wr(pools["k_scale"], tails["k_scale"], dn_s)
+        out["v_scale"] = wr(pools["v_scale"], tails["v_scale"], dn_s)
     return out
 
 
@@ -1059,6 +1122,11 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         return dt
 
     use_k = mcommon._use_paged_kernel() and use_k_mesh
+    compact = _want_compact_flush(pools)
+    if compact:
+        from ..utils.logger import logger
+        logger.info("beam burst: compact flush (free HBM < pool-copy "
+                    "temp of the fast form)")
     n_lanes = b * k
     all_lanes = list(range(n_lanes))
     quantized = "k_scale" in pools
@@ -1126,7 +1194,8 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         burst_fn = _make_beam_burst(params, cfg, b, k, k_eff, eos, use_k,
                                     do_cow, quantized, mesh=mesh,
                                     ctrl=ctrl,
-                                    has_lora=lora_lane is not None)
+                                    has_lora=lora_lane is not None,
+                                    compact_flush=compact)
         table = jnp.asarray(bm.block_table(all_lanes, mb))
         bpos = jnp.asarray(bm.block_pos(all_lanes, mb))
         _mark("host prealloc", t0)

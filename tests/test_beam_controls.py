@@ -381,3 +381,17 @@ def test_session_num_beams_forwards_min_new_and_stops():
     got2 = out2.sequences[0][len(PROMPTS[0]):]
     if gen0[0] in got2:
         assert got2.index(gen0[0]) + 1 > 4
+
+
+def test_compact_flush_exactness(monkeypatch):
+    """The copy-free compact flush (chosen when HBM headroom cannot fit
+    the fast form's whole-pool transpose temp) is output-equal."""
+    import mixq_tensorrt_llm_tpu.runtime.beam as rbeam
+    cfg = _tiny_cfg()
+    params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(num_beams=3, block_size=4, burst=4)
+    fast = paged_beam_search(params, cfg, PROMPTS, 8, **kw)
+    monkeypatch.setattr(rbeam, "_want_compact_flush", lambda pools: True)
+    compact = paged_beam_search(params, cfg, PROMPTS, 8, **kw)
+    assert compact.sequences == fast.sequences
+    assert compact.scores == fast.scores
