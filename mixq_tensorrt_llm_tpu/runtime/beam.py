@@ -1001,17 +1001,33 @@ def _make_beam_burst(params, cfg: ModelConfig, b: int, k: int, k_eff: int,
     return _memo_put(_BURST_FNS, key, burst)
 
 
-def _want_compact_flush(pools) -> bool:
+# per-chip HBM (GiB) by device_kind substring — heuristic table for
+# backends whose memory_stats() is unavailable (e.g. relayed TPUs)
+_HBM_GIB = (("v5 lite", 16), ("v6 lite", 32), ("v5p", 95), ("v5", 95),
+            ("v4", 32), ("v3", 16), ("v2", 8))
+
+
+def _want_compact_flush(params, pools) -> bool:
     """True when the fast flush's whole-pool transpose-copy HLO temp
     (~one 'k' pool) would not fit in free HBM — pay the compact form's
-    ~13% throughput instead of an OOM. Backends without memory_stats
-    (CPU tests) take the fast form."""
+    ~13% throughput instead of an OOM. Uses memory_stats when the
+    backend reports them; TPUs without stats (relay) estimate
+    used ~= params + pools against a device-kind HBM table. CPU takes
+    the fast form."""
     try:
-        ms = jax.local_devices()[0].memory_stats() or {}
-        limit, used = ms.get("bytes_limit"), ms.get("bytes_in_use")
-        if not limit or used is None:
+        d = jax.local_devices()[0]
+        need = pools["k"].nbytes + (1 << 30)     # copy + other-temp slop
+        ms = d.memory_stats() or {}
+        if ms.get("bytes_limit"):
+            return (ms["bytes_limit"] - ms.get("bytes_in_use", 0)) < need
+        if d.platform != "tpu":
             return False
-        return (limit - used) < pools["k"].nbytes + (1 << 30)
+        gib = next((g for kind, g in _HBM_GIB
+                    if kind in d.device_kind.lower()), 16)
+        limit = int((gib - 0.5) * (1 << 30))     # reserved/runtime slack
+        used = (sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
+                + sum(p.nbytes for p in pools.values()))
+        return limit - used < need
     except Exception:
         return False
 
@@ -1122,7 +1138,7 @@ def _burst_decode_loop(params, cfg, bm, pools, mb, b, k, burst,
         return dt
 
     use_k = mcommon._use_paged_kernel() and use_k_mesh
-    compact = _want_compact_flush(pools)
+    compact = _want_compact_flush(params, pools)
     if compact:
         from ..utils.logger import logger
         logger.info("beam burst: compact flush (free HBM < pool-copy "

@@ -1486,11 +1486,10 @@ class Executor:
 
         The unaligned variant also PREVIEWS the ragged-prompt pool: any
         page-unaligned prompt costs one COW-margin page per lane, so a
-        geometry that only fits with aligned prompts OOMs HERE, at
-        deploy time, instead of mid-serving (measured: 7B int8
-        16 req x 4 beams x 512+64 fits aligned, exceeds 16 GB HBM by
-        ~0.3 GB with the margin pool — serve that shape at max_batch 12,
-        or page-align prompts; docs/PERF.md beam notes)."""
+        geometry near the HBM edge surfaces HERE, at deploy time,
+        instead of mid-serving (the burst then auto-selects the
+        copy-free compact flush — beam._want_compact_flush;
+        docs/PERF.md beam notes)."""
         from .beam import paged_beam_search
         b = self.max_batch
         pb = min(prompt_bucket, self.max_seq_len - max_new_tokens)

@@ -391,7 +391,8 @@ def test_compact_flush_exactness(monkeypatch):
     params = mllama.init_random_params(cfg, jax.random.PRNGKey(0))
     kw = dict(num_beams=3, block_size=4, burst=4)
     fast = paged_beam_search(params, cfg, PROMPTS, 8, **kw)
-    monkeypatch.setattr(rbeam, "_want_compact_flush", lambda pools: True)
+    monkeypatch.setattr(rbeam, "_want_compact_flush",
+                        lambda params, pools: True)
     compact = paged_beam_search(params, cfg, PROMPTS, 8, **kw)
     assert compact.sequences == fast.sequences
     assert compact.scores == fast.scores
