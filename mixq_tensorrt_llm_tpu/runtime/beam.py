@@ -91,10 +91,19 @@ def _pack_beam_controls(prompts, k: int, min_new_tokens, bad_words,
     step/burst programs (pad rows/columns are inert — BW_PAD words,
     zero-length stops)."""
     b = len(prompts)
+    if min_new_tokens is not None:
+        # public API tolerates mixed [None, 3] per-request minimums
+        min_new_tokens = [m or 0 for m in min_new_tokens]
     has_min = min_new_tokens is not None and any(min_new_tokens)
     has_bw = bad_words is not None and any(w for w in bad_words if w)
     has_stop = (stop_sequences is not None
                 and any(s for s in stop_sequences if s))
+    if procs and proc_masks is None:
+        # direct paged_beam_search/beam_search callers passing processors
+        # without masks mean "apply to every request" — defaulting (rather
+        # than silently dropping the processors) keeps the public API from
+        # generating unconstrained output with no error
+        proc_masks = np.ones((b, len(procs)), bool)
     has_proc = (len(procs) > 0 and proc_masks is not None
                 and bool(np.asarray(proc_masks).any()))
     if not (has_min or has_bw or has_stop or has_proc):
@@ -1007,16 +1016,33 @@ _HBM_GIB = (("v5 lite", 16), ("v6 lite", 32), ("v5p", 95), ("v5", 95),
             ("v4", 32), ("v3", 16), ("v2", 8))
 
 
+def _per_device_nbytes(x) -> int:
+    """Bytes of x resident on ONE device: under a tp/pp mesh the pool /
+    param slice per chip is 1/N of the global nbytes (replicated dims
+    excepted) — the HBM heuristic below must budget the per-chip slice,
+    not the global array (ADVICE r4: the global estimate needlessly
+    selected the ~13%-slower compact flush on multi-chip runs)."""
+    try:
+        d0 = jax.local_devices()[0]
+        shards = [s for s in x.addressable_shards if s.device == d0]
+        if shards:
+            return sum(s.data.nbytes for s in shards)
+    except Exception:
+        pass
+    return int(getattr(x, "nbytes", 0))
+
+
 def _want_compact_flush(params, pools) -> bool:
     """True when the fast flush's whole-pool transpose-copy HLO temp
-    (~one 'k' pool) would not fit in free HBM — pay the compact form's
-    ~13% throughput instead of an OOM. Uses memory_stats when the
-    backend reports them; TPUs without stats (relay) estimate
-    used ~= params + pools against a device-kind HBM table. CPU takes
-    the fast form."""
+    (~one per-device 'k' pool slice) would not fit in free HBM — pay the
+    compact form's ~13% throughput instead of an OOM. Uses memory_stats
+    when the backend reports them; TPUs without stats (relay) estimate
+    used ~= params + pools against a device-kind HBM table. All byte
+    math is per-device (sharded arrays count their local slice). CPU
+    takes the fast form."""
     try:
         d = jax.local_devices()[0]
-        need = pools["k"].nbytes + (1 << 30)     # copy + other-temp slop
+        need = _per_device_nbytes(pools["k"]) + (1 << 30)  # copy + slop
         ms = d.memory_stats() or {}
         if ms.get("bytes_limit"):
             return (ms["bytes_limit"] - ms.get("bytes_in_use", 0)) < need
@@ -1025,8 +1051,9 @@ def _want_compact_flush(params, pools) -> bool:
         gib = next((g for kind, g in _HBM_GIB
                     if kind in d.device_kind.lower()), 16)
         limit = int((gib - 0.5) * (1 << 30))     # reserved/runtime slack
-        used = (sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
-                + sum(p.nbytes for p in pools.values()))
+        used = (sum(_per_device_nbytes(x)
+                    for x in jax.tree_util.tree_leaves(params))
+                + sum(_per_device_nbytes(p) for p in pools.values()))
         return limit - used < need
     except Exception:
         return False

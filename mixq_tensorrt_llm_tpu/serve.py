@@ -249,9 +249,14 @@ def make_handler(server: InferenceServer):
                                "prefilling": len(ex.prefilling),
                                "kv": ex.get_kv_cache_stats(),
                                # engine contract: 0 == no serving shape
-                               # slipped past warmup (null before warmup)
+                               # slipped past warmup (null before warmup);
+                               # cache_loads splits compile vs ~1.7 s
+                               # persistent-cache load (both fire the
+                               # duration event — utils/compile_watch)
                                "compiles_since_warmup":
-                                   ex.compiles_since_warmup}
+                                   ex.compiles_since_warmup,
+                               "cache_loads_since_warmup":
+                                   ex.cache_loads_since_warmup}
                     if st:
                         dt = sum(x.step_time_s for x in st)
                         payload.update(

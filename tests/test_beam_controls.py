@@ -396,3 +396,42 @@ def test_compact_flush_exactness(monkeypatch):
     compact = paged_beam_search(params, cfg, PROMPTS, 8, **kw)
     assert compact.sequences == fast.sequences
     assert compact.scores == fast.scores
+
+
+def test_mixed_none_min_new_tokens(model):
+    """Public-API robustness (ADVICE r4): a mixed [None, 3, None]
+    min_new_tokens list must pack (None -> 0), not raise in np.asarray."""
+    params, cfg = model
+    base = paged_beam_search(params, cfg, PROMPTS, 6, num_beams=3,
+                             block_size=4)
+    eos = base.sequences[0][len(PROMPTS[0]) + 1]
+    out = paged_beam_search(params, cfg, PROMPTS, 6, num_beams=3,
+                            block_size=4, eos_token_id=eos,
+                            min_new_tokens=[None, 3, None])
+    gen1 = out.sequences[1][len(PROMPTS[1]):]
+    if eos in gen1:
+        assert gen1.index(eos) + 1 > 3
+
+
+def test_processors_without_masks_apply_to_all(model):
+    """Public-API robustness (ADVICE r4): logits_processors without
+    proc_masks previously DROPPED the processors silently; now they
+    default to applying on every request."""
+    import jax.numpy as jnp
+    params, cfg = model
+    banned = 9
+
+    def ban9(logits, hist):
+        return logits.at[:, banned].set(-1e9)
+
+    out = paged_beam_search(params, cfg, PROMPTS, 8, num_beams=3,
+                            block_size=4,
+                            logits_processors=(("ban9", ban9),))
+    for seq, pr in zip(out.sequences, PROMPTS):
+        assert banned not in seq[len(pr):]
+    # and it matches the explicit all-ones mask form
+    explicit = paged_beam_search(
+        params, cfg, PROMPTS, 8, num_beams=3, block_size=4,
+        logits_processors=(("ban9", ban9),),
+        proc_masks=np.ones((len(PROMPTS), 1), bool))
+    assert out.sequences == explicit.sequences
