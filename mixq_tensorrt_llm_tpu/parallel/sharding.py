@@ -101,14 +101,27 @@ def shard_paged_state(state, mesh: Mesh, num_layers: int = 0):
     With a 'pp' axis (and num_layers given, pp | L), the PAGE axis shards
     on 'pp': the pool is layer-major (layer l's block b at row l*NB + b),
     so contiguous pp chunks are exactly the pipeline stages' own layers'
-    pages — each stage holds 1/pp of the KV, the reason pp serving exists."""
+    pages — each stage holds 1/pp of the KV, the reason pp serving exists.
+
+    With a 'dp' axis (r4 VERDICT missing #3), the PAGE axis shards on
+    'dp' instead: the Executor lays the pool out GROUP-major — lane group
+    g's pages occupy rows [g*L*NBl, (g+1)*L*NBl), each group slice a
+    standard layer-major flat pool of NBl = num_blocks/dp pages — so
+    contiguous dp chunks are exactly the lane groups' own pools and
+    forward_paged_dp's manual-'dp' shard_map hands each device an
+    unchanged single-chip pool. dp x pp is rejected (one page axis)."""
     tp = int(mesh.shape.get("tp", 1)) if "tp" in mesh.axis_names else 1
     pp = int(mesh.shape.get("pp", 1)) if "pp" in mesh.axis_names else 1
+    dp = int(mesh.shape.get("dp", 1)) if "dp" in mesh.axis_names else 1
     # replicate the head axis when tp does not divide it (the executor
     # then serves on the jnp GSPMD plane; the kernel plane requires the
     # even split)
     head = "tp" if tp and state.k.shape[1] % max(tp, 1) == 0 else None
     page = "pp" if pp > 1 and num_layers and num_layers % pp == 0 else None
+    if dp > 1:
+        assert page is None, "dp x pp paged serving unsupported (one page axis)"
+        assert state.k.shape[0] % dp == 0, (state.k.shape, dp)
+        page = "dp"
     kv = NamedSharding(mesh, _strip_absent_axes(P(page, head, None, None),
                                                 mesh))
     sc = NamedSharding(mesh, _strip_absent_axes(P(page, head, None), mesh))
