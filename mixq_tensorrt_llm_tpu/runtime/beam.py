@@ -584,6 +584,12 @@ def paged_beam_search(params, cfg: ModelConfig,
     use_k_mesh = True
     pp_n = 1
     if mesh is not None and mesh.size > 1:
+        from ..parallel.sharding import maybe_dup_kv_heads
+        assert int(mesh.shape.get("dp", 1)) == 1, \
+            "beam search x dp-sharded lanes unsupported (use tp/pp)"
+        # tp > num_kv_heads: replicate KV heads up to tp (reference
+        # dup_kv_weight) so GQA beams keep the head-sharded kernel plane
+        params, cfg = maybe_dup_kv_heads(params, cfg, mesh)
         tp = int(mesh.shape.get("tp", 1))
         pp_n = int(mesh.shape.get("pp", 1))
         if pp_n > 1:

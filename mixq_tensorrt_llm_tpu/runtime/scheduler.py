@@ -65,6 +65,77 @@ class QueueFullError(RuntimeError):
     (reference executor.pyi ExecutorConfig.max_queue_size)."""
 
 
+class _GroupedBM:
+    """dp lane groups: one block manager per group, each owning its own
+    page-pool slice (group-major flat pool; see forward_paged_dp and
+    parallel/sharding.shard_paged_state). Block ids stay group-LOCAL —
+    inside the manual-'dp' shard_map each device group addresses its
+    local pool slice with them directly, so the device never sees global
+    page ids and the step needs zero collectives. Prefix caches
+    (enableBlockReuse) are therefore also per-group: a cached prefix is
+    only adoptable by requests admitted to the same group."""
+
+    def __init__(self, bms):
+        self.bms = bms
+        self.group_of: Dict[int, int] = {}
+        self.num_trash = len(bms)          # one reserved block per group
+
+    # group-aware admission surface -------------------------------------
+    def can_allocate(self, num_tokens: int, group: int) -> bool:
+        return self.bms[group].can_allocate(num_tokens)
+
+    def free_in(self, group: int) -> int:
+        return self.bms[group].num_free
+
+    def add_sequence(self, seq_id: int, num_tokens: int, group: int):
+        self.group_of[seq_id] = group
+        return self.bms[group].add_sequence(seq_id, num_tokens)
+
+    def add_sequence_cached(self, seq_id: int, tokens, group: int):
+        self.group_of[seq_id] = group
+        return self.bms[group].add_sequence_cached(seq_id, tokens)
+
+    # routed per-sequence surface (call-compatible with one manager) ----
+    def extend(self, seq_id: int, new_tokens: int = 1):
+        return self.bms[self.group_of[seq_id]].extend(seq_id, new_tokens)
+
+    def rewind(self, seq_id: int, new_length: int):
+        return self.bms[self.group_of[seq_id]].rewind(seq_id, new_length)
+
+    def free_sequence(self, seq_id: int) -> None:
+        self.bms[self.group_of.pop(seq_id)].free_sequence(seq_id)
+
+    def register_prefix(self, seq_id: int, tokens, upto: int) -> None:
+        self.bms[self.group_of[seq_id]].register_prefix(seq_id, tokens,
+                                                        upto)
+
+    def block_table(self, seq_ids, max_blocks: int) -> np.ndarray:
+        return np.concatenate(
+            [self.bms[self.group_of[s]].block_table([s], max_blocks)
+             for s in seq_ids], axis=0)
+
+    def block_pos(self, seq_ids, max_blocks: int) -> np.ndarray:
+        return np.concatenate(
+            [self.bms[self.group_of[s]].block_pos([s], max_blocks)
+             for s in seq_ids], axis=0)
+
+    @property
+    def num_blocks(self) -> int:
+        return sum(b.num_blocks for b in self.bms)
+
+    @property
+    def num_free(self) -> int:
+        return sum(b.num_free for b in self.bms)
+
+    @property
+    def window_blocks(self):
+        return self.bms[0].window_blocks
+
+    @property
+    def prefix_cache_size(self) -> int:
+        return sum(b.prefix_cache_size for b in self.bms)
+
+
 @dataclasses.dataclass
 class IterationStats:
     """Per-step serving telemetry (reference bindings/executor.pyi
@@ -106,6 +177,7 @@ class Request:
     finish_time: Optional[float] = None
     on_token: Optional[object] = None   # streaming callback(req, token)
     prefill_pos: int = 0                # tokens already prefilled
+    group: int = 0                      # dp lane group (assigned at admit)
     # crash-resume (Executor.snapshot/restore): pre-restart state riding a
     # restored request until _finish unstitches it. Tuple of
     # (orig_prompt_len, prior_generated, prior_logprobs, orig_max, orig_min);
@@ -155,8 +227,10 @@ class Executor:
         # page-write kernels run per head shard via shard_map
         # (parallel/kernel_shard — r2 VERDICT missing #1: they used to be
         # abandoned for the pool-materializing jnp fallback under any
-        # mesh). The jnp fallback remains for meshes the kernels cannot
-        # shard: 'dp'-sharded lanes or tp not dividing num_kv_heads.
+        # mesh). 'dp'-sharded lanes run the kernel plane too, group-major
+        # pools through forward_paged_dp's manual shard_map (r4 VERDICT
+        # missing #3); the jnp fallback remains only for tp not dividing
+        # num_kv_heads.
         # With 'pp' in the mesh the step programs run the stage-pipelined
         # shard_map forward (models.common.forward_paged_pp): each stage
         # owns L/pp layers AND their pages (the flat pool's layer-major
@@ -166,13 +240,23 @@ class Executor:
         # mpi4py control plane.
         self.mesh = mesh
         kernel_mesh = None
+        dp = 1
         if mesh is None or mesh.size == 1:
             use_k = True
         else:
             from ..ops._util import kernel_enabled
+            from ..parallel.sharding import maybe_dup_kv_heads
             tp = int(mesh.shape.get("tp", 1))
             pp = int(mesh.shape.get("pp", 1))
+            dp = int(mesh.shape.get("dp", 1))
+            # tp > num_kv_heads: replicate KV heads up to tp at shard time
+            # (the reference's dup_kv_weight) so GQA models keep the
+            # head-sharded kernel plane instead of falling to the jnp
+            # fallback (r4 VERDICT missing #4); pools size to kv'=tp
+            params, cfg = maybe_dup_kv_heads(params, cfg, mesh)
             if pp > 1:
+                assert dp == 1, \
+                    "dp x pp serving mesh unsupported (one page axis)"
                 assert mesh.size == pp * tp, \
                     f"pp serving mesh must be pp x tp (got {mesh.shape})"
                 assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
@@ -184,6 +268,25 @@ class Executor:
                 use_k = ((tp == 1 or cfg.num_kv_heads % tp == 0)
                          and kernel_enabled("MIXQ_PAGED_KERNEL"))
                 kernel_mesh = mesh
+            elif dp > 1:
+                # dp-sharded LANES on the kernel plane (r4 VERDICT missing
+                # #3): lanes, tables, lens and the group-major page pool
+                # all shard on 'dp' through forward_paged_dp's manual
+                # shard_map — zero collectives in the step, each group an
+                # unchanged single-chip (or tp-head-sharded) executor.
+                # The reference gets serving DP by engine replication
+                # (one process per GPU); this is the mesh-native form.
+                assert mesh.size == dp * tp, \
+                    f"dp serving mesh must be dp x tp (got {mesh.shape})"
+                assert max_batch % dp == 0, (max_batch, dp)
+                assert not cfg.quant.dynamic_outliers, \
+                    "dynamic outliers x dp-sharded lanes unsupported " \
+                    "(per-group lanes fork the running absmax)"
+                use_k = ((tp == 1 or cfg.num_kv_heads % tp == 0)
+                         and kernel_enabled("MIXQ_PAGED_KERNEL"))
+                # the dp shard_map partitions even the jnp fallback, so
+                # the mesh is always threaded through
+                kernel_mesh = mesh
             else:
                 use_k = (tp > 1 and mesh.size == tp
                          and cfg.num_kv_heads % tp == 0
@@ -191,6 +294,8 @@ class Executor:
                 kernel_mesh = mesh if use_k else None
         self._use_kernels = use_k
         self._kernel_mesh = kernel_mesh
+        self._dp = dp
+        self._lanes_per_group = max_batch // dp
         kmesh = kernel_mesh
         if mesh is not None:
             from ..parallel import sharding as psh
@@ -208,8 +313,14 @@ class Executor:
             # the table). Oversubscription is safe: admission blocks on
             # pages, and decode-time exhaustion preempts the lowest-
             # priority request back to the queue (see _preempt).
-            num_blocks = -(-max_kv_tokens // block_size) + 1
-        num_blocks = num_blocks or (max_batch * self.max_blocks_per_seq + 1)
+            num_blocks = -(-max_kv_tokens // block_size) + dp
+        num_blocks = num_blocks or (max_batch * self.max_blocks_per_seq + dp)
+        # dp lane groups each own an equal pool slice (incl. their own
+        # trash block 0); init_paged_kv's row count L*NBl*dp equals the
+        # group-major layout dp*(L*NBl) — zeros carry no layout, the
+        # 'dp' sharding of axis 0 imposes it (shard_paged_state)
+        nb_local = -(-num_blocks // dp)
+        num_blocks = nb_local * dp
         self.state: PagedKVState = init_paged_kv(cfg, num_blocks, block_size)
         if mesh is not None:
             from ..parallel import sharding as psh
@@ -224,10 +335,19 @@ class Executor:
         self.block_reuse = enable_block_reuse
         if enable_block_reuse:
             assert not window_blocks, "block reuse + windows unsupported"
-        self.bm = make_block_manager(
-            num_blocks, block_size,
-            sink_blocks=sink_blocks, window_blocks=window_blocks,
-            prefer_native=_os.environ.get("MIXQ_NATIVE", "1") != "0")
+        prefer_native = _os.environ.get("MIXQ_NATIVE", "1") != "0"
+        if dp > 1:
+            self.bm = _GroupedBM([
+                make_block_manager(nb_local, block_size,
+                                   sink_blocks=sink_blocks,
+                                   window_blocks=window_blocks,
+                                   prefer_native=prefer_native)
+                for _ in range(dp)])
+        else:
+            self.bm = make_block_manager(
+                num_blocks, block_size,
+                sink_blocks=sink_blocks, window_blocks=window_blocks,
+                prefer_native=prefer_native)
         # StreamingLLM runtime window in TOKENS for the attention masks
         # (reference plugin.py:172 streamingllm; 0 = model default /
         # cfg.sliding_window). Blocks recycle in the manager; positions
@@ -255,6 +375,9 @@ class Executor:
         self.preemptions = 0   # KV-pressure evictions (see _preempt)
         self.prefill_chunk = prefill_chunk
         self.prefill_lanes = max(1, min(prefill_lanes, max_batch))
+        # per-group prefill lane cap under dp (the prefill program's lane
+        # axis shards on 'dp', laid out group-blocked — _step_prefill)
+        self._gp_cap = max(1, self.prefill_lanes // dp)
         # named in-graph logits processors (reference executor.pyi
         # logits_post_processor registry): jax-traceable
         # `(logits (B,V), history (B,W)) -> logits`, selected per request
@@ -651,6 +774,9 @@ class Executor:
         """
         assert gamma >= 1 and gamma + 1 < self.block_size, \
             "gamma+1 must stay below the page size (unaligned chunk rows)"
+        assert self._dp == 1, \
+            "speculative decoding x dp-sharded lanes unsupported (the " \
+            "draft pool is not group-major; use a tp/pp mesh)"
         assert not self.bm.window_blocks, \
             "speculative rewind unsupported with windowed KV"
         assert self.ostate is None, \
@@ -966,24 +1092,58 @@ class Executor:
     def _free_slots(self) -> int:
         return self.max_batch - self.num_active - len(self.prefilling)
 
+    def _slot_group(self, i: int) -> int:
+        return i // self._lanes_per_group
+
+    def _group_free_slots(self, g: int) -> int:
+        lo = g * self._lanes_per_group
+        act = sum(1 for i in range(lo, lo + self._lanes_per_group)
+                  if self.slots[i] is not None)
+        pre = sum(1 for r in self.prefilling if r.group == g)
+        return self._lanes_per_group - act - pre
+
+    def _pick_group(self, req: Request) -> Optional[int]:
+        """dp lane group for an admission: a free slot, a free prefill
+        lane, and allocatable pages in the group's own pool slice; ties
+        break to the emptiest pool then lowest index — DETERMINISTIC, so
+        every host of a multi-process mesh admits identically."""
+        cands = [g for g in range(self._dp)
+                 if self._group_free_slots(g) > 0
+                 and sum(1 for r in self.prefilling
+                         if r.group == g) < self._gp_cap
+                 and self.bm.can_allocate(len(req.prompt) + 1, group=g)]
+        if not cands:
+            return None
+        return max(cands, key=lambda g: (self.bm.free_in(g), -g))
+
     def _admit(self) -> None:
         """Move queued requests into the prefilling set (pages reserved).
 
         Admission order is priority-then-FIFO (reference executor.pyi
         Request.priority); the chosen head blocks on pages rather than
-        being skipped, so high-priority long requests cannot starve."""
+        being skipped, so high-priority long requests cannot starve.
+        Under dp, the head is placed in the lane group with the emptiest
+        pool that can hold it (pages are group-local)."""
         while (self.queue and self._free_slots() > 0
                and len(self.prefilling) < self.prefill_lanes):
             req = max(self.queue, key=lambda r: (r.priority, -r.req_id))
-            if not self.bm.can_allocate(len(req.prompt) + 1):
-                break   # wait for pages rather than starve long reqs
+            if self._dp == 1:
+                if not self.bm.can_allocate(len(req.prompt) + 1):
+                    break   # wait for pages rather than starve long reqs
+                gkw = {}
+            else:
+                g = self._pick_group(req)
+                if g is None:
+                    break
+                req.group = g
+                gkw = {"group": g}
             self.queue.remove(req)
             if self.block_reuse:
                 _, cached = self.bm.add_sequence_cached(req.req_id,
-                                                        req.prompt)
+                                                        req.prompt, **gkw)
                 req.prefill_pos = cached     # adopted blocks skip prefill
             else:
-                self.bm.add_sequence(req.req_id, len(req.prompt))
+                self.bm.add_sequence(req.req_id, len(req.prompt), **gkw)
             self.prefilling.append(req)
 
     def _history(self, reqs: Sequence[Optional[Request]]) -> np.ndarray:
@@ -1041,12 +1201,33 @@ class Executor:
         if not self.prefilling:
             return
         chunk = self.prefill_chunk
-        lanes = self.prefilling[:self.prefill_lanes]
-        # lane count adapts like the chunk does: the smallest power of two
-        # covering the lanes actually prefilling (a trickle arrival or an
-        # admission drain with 1 lane shouldn't pay prefill_lanes-wide
-        # compute — 4x the FLOPs for the same tokens at the default 4)
-        p = min(self.prefill_lanes, pow2_ceil(len(lanes)))
+        if self._dp == 1:
+            lanes = self.prefilling[:self.prefill_lanes]
+            # lane count adapts like the chunk does: the smallest power of
+            # two covering the lanes actually prefilling (a trickle arrival
+            # or an admission drain with 1 lane shouldn't pay
+            # prefill_lanes-wide compute — 4x the FLOPs for the same
+            # tokens at the default 4)
+            p = min(self.prefill_lanes, pow2_ceil(len(lanes)))
+            lane_rows: List[Optional[Request]] = (
+                list(lanes) + [None] * (p - len(lanes)))
+        else:
+            # dp: the prefill program's lane axis shards on 'dp', so rows
+            # are GROUP-BLOCKED — group g's prefilling requests occupy
+            # rows [g*w, (g+1)*w) with a shared pow2 width w (padding
+            # rows are length-0 lanes writing the group's trash block)
+            per_g = [[r for r in self.prefilling if r.group == g]
+                     [:self._gp_cap] for g in range(self._dp)]
+            w = min(self._gp_cap,
+                    pow2_ceil(max(1, max(len(x) for x in per_g))))
+            lane_rows = []
+            for g in range(self._dp):
+                rows = per_g[g][:w]
+                lane_rows += rows + [None] * (w - len(rows))
+            p = len(lane_rows)
+            lanes = [r for r in lane_rows if r is not None]
+            if not lanes:
+                return
         rem = max(len(r.prompt) - r.prefill_pos for r in lanes)
         c_eff = self.block_size
         while c_eff < min(rem, chunk):
@@ -1060,7 +1241,9 @@ class Executor:
         sup_tok = np.full((p,), -1, np.int32)
         sup_flag = np.zeros((p,), np.int32)
         lora = np.zeros((p,), np.int32)
-        for i, req in enumerate(lanes):
+        for i, req in enumerate(lane_rows):
+            if req is None:
+                continue
             c0 = req.prefill_pos
             piece = req.prompt[c0: c0 + chunk]
             tokens[i, :len(piece)] = piece
@@ -1075,9 +1258,9 @@ class Executor:
                 sup_tok[i] = req.eos_token_id
                 sup_flag[i] = 1
         samp = batch_params(
-            [r.sampling or self.sampling for r in lanes]
-            + [None] * (p - len(lanes)))
-        padded = list(lanes) + [None] * (p - len(lanes))
+            [r.sampling or self.sampling if r is not None else None
+             for r in lane_rows])
+        padded = lane_rows
         self.key, sub = jax.random.split(self.key)
         tok, lp, self.state, new_ostate = self._prefill(
             self.params, jnp.asarray(tokens), self.state, jnp.asarray(table),
@@ -1095,13 +1278,15 @@ class Executor:
         # host RTT (~45 ms on the relay) per chunk — the decode readback in
         # step() already paces the host, so mixed prefill+decode steps drop
         # from two syncs to one.
-        if any(int(length[i]) >= len(req.prompt)
-               for i, req in enumerate(lanes)):
+        if any(req is not None and int(length[i]) >= len(req.prompt)
+               for i, req in enumerate(lane_rows)):
             tok_np = np.asarray(tok)
             lp_np = np.asarray(lp)
         else:
             tok_np = lp_np = None
-        for i, req in enumerate(lanes):
+        for i, req in enumerate(lane_rows):
+            if req is None:
+                continue
             req.prefill_pos = int(length[i])
             if self.block_reuse:
                 # the chunk's KV is now written: its full prompt blocks
@@ -1109,9 +1294,13 @@ class Executor:
                 self.bm.register_prefix(req.req_id, req.prompt,
                                         upto=req.prefill_pos)
             if req.prefill_pos >= len(req.prompt):
-                # prefill complete: emit first token, join the decode batch
+                # prefill complete: emit first token, join the decode
+                # batch — in the request's own lane group under dp (its
+                # pages live in that group's pool slice)
                 self.prefilling.remove(req)
-                slot = self.slots.index(None)
+                lo = req.group * self._lanes_per_group
+                slot = next(j for j in range(lo, lo + self._lanes_per_group)
+                            if self.slots[j] is None)
                 self.slots[slot] = req
                 req.first_token_time = time.perf_counter()
                 self._append_token(req, int(tok_np[i]), float(lp_np[i]))
@@ -1154,10 +1343,15 @@ class Executor:
         self.slots[self.slots.index(req)] = None
 
     # ------------------------------------------------------------------
-    def _pick_victim(self, protect=()) -> Optional[Request]:
+    def _pick_victim(self, protect=(), group: Optional[int] = None
+                     ) -> Optional[Request]:
         """Preemption victim: lowest priority, then most recently
-        submitted (least sunk prefill cost to replay)."""
-        cands = [r for r in self.slots if r is not None and r not in protect]
+        submitted (least sunk prefill cost to replay). With `group`,
+        only that dp lane group's actives are candidates (pages are
+        group-local — evicting elsewhere frees nothing here)."""
+        cands = [r for i, r in enumerate(self.slots)
+                 if r is not None and r not in protect
+                 and (group is None or self._slot_group(i) == group)]
         if not cands:
             return None
         return min(cands, key=lambda r: (r.priority, -r.req_id))
@@ -1197,22 +1391,28 @@ class Executor:
         if self.bm.window_blocks:
             return
         bs = self.block_size
-        while True:
-            lanes = [r for r in self.slots if r is not None]
-            if not lanes:
-                return
-            need = 0
-            for r in lanes:
-                ln = max(len(r.sequence) - 1, 1)
-                need += (ln + k + bs - 1) // bs - (ln + bs - 1) // bs
-            if need <= self.bm.num_free:
-                return
-            if len(lanes) == 1:
-                raise RuntimeError(
-                    "KV pool exhausted: the single active request cannot "
-                    f"extend by {k} tokens (free {self.bm.num_free} "
-                    "blocks); size the pool larger (max_kv_tokens)")
-            self._preempt(self._pick_victim())
+        for g in range(self._dp):   # dp==1: one pass over everything
+            while True:
+                lanes = [r for i, r in enumerate(self.slots)
+                         if r is not None
+                         and (self._dp == 1 or self._slot_group(i) == g)]
+                if not lanes:
+                    break
+                need = 0
+                for r in lanes:
+                    ln = max(len(r.sequence) - 1, 1)
+                    need += (ln + k + bs - 1) // bs - (ln + bs - 1) // bs
+                free = (self.bm.num_free if self._dp == 1
+                        else self.bm.free_in(g))
+                if need <= free:
+                    break
+                if len(lanes) == 1:
+                    raise RuntimeError(
+                        "KV pool exhausted: the single active request "
+                        f"cannot extend by {k} tokens (free {free} "
+                        "blocks); size the pool larger (max_kv_tokens)")
+                self._preempt(self._pick_victim(
+                    group=None if self._dp == 1 else g))
 
     def get_latest_iteration_stats(self, n: int = 1):
         """Last n IterationStats (reference get_latest_iteration_stats)."""
@@ -1249,7 +1449,7 @@ class Executor:
         """Pool accounting (reference executor.pyi KvCacheStats:
         max/free/used block counts, tokens per block; plus the prefix
         cache's held blocks). Block 0 is the reserved trash block."""
-        total = self.bm.num_blocks - 1
+        total = self.bm.num_blocks - getattr(self.bm, "num_trash", 1)
         free = self.bm.num_free
         cached = self.bm.prefix_cache_size if self.block_reuse else 0
         return {"max_num_blocks": total,
@@ -1469,14 +1669,23 @@ class Executor:
                     f"warmup failed to compile burst rungs {missing}"
             # lane-count variants _step_prefill can produce: pow2s, plus
             # prefill_lanes itself when it is not a power of two (p is
-            # capped there, so e.g. lanes=3 runs a (3, chunk) program)
-            cs = [c for c in (2, 4, 8, 16, 32, 64)
-                  if c < self.prefill_lanes] + [self.prefill_lanes]
+            # capped there, so e.g. lanes=3 runs a (3, chunk) program).
+            # Under dp the program width is dp x per-group-width w, so
+            # the enumeration runs over per-group widths with dp requests
+            # each (admission balances groups deterministically)
+            if self._dp > 1:
+                cs = [c for c in (2, 4, 8, 16, 32, 64)
+                      if c < self._gp_cap] + [self._gp_cap]
+                mult, cap = self._dp, self._lanes_per_group
+            else:
+                cs = [c for c in (2, 4, 8, 16, 32, 64)
+                      if c < self.prefill_lanes] + [self.prefill_lanes]
+                mult, cap = 1, self.max_batch
             for c in cs:
-                if c < 2 or c > self.max_batch:
+                if c < 2 or c > cap:
                     continue
                 rids = [self.submit([1] * max(n, 1), max_new_tokens=1)
-                        for _ in range(c)]
+                        for _ in range(c * mult)]
                 self.run()
                 for r in rids:
                     self.finished.pop(r, None)
@@ -1582,6 +1791,9 @@ class Executor:
         """
         assert self.num_active == 0 and not self.prefilling, \
             "run_beams drives queued work only (drain decode work first)"
+        assert self._dp == 1, \
+            "beam search x dp-sharded lanes unsupported (beam pools are " \
+            "not group-major; use a tp/pp mesh)"
         # tp meshes run the whole beam engine sharded (r3 VERDICT missing
         # #4 closed — kernel_shard.decode_attention_stats serves the pool
         # prefix per head shard); pp meshes run every beam forward through
