@@ -1319,13 +1319,16 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
     outside stays unchanged.
 
     Schedule: sequential stages inside one step — at tick t only rank t's
-    output is selected, but EVERY rank executes its stage every tick, for
-    two reasons: (1) collectives (ppermute, GSPMD tp psums) must be
-    executed uniformly across devices — a lax.cond taken by one pp rank
-    pair deadlocks the collective rendezvous (measured on the 8-CPU mesh);
-    (2) an inactive rank's page writes land on exactly the positions its
-    own ACTIVE tick rewrites with correct values before the stage's only
-    read of them, so the wasted compute is harmless to state. Wall-clock
+    output is selected, but EVERY rank executes its stage every tick:
+    collectives (ppermute, GSPMD tp psums) must be executed uniformly
+    across devices — a lax.cond taken by one pp rank pair deadlocks the
+    collective rendezvous (measured on the 8-CPU mesh). Inactive ticks
+    redirect ALL page writes to the trash block (kv_valid_len = 0, like
+    pp_burst's fill/drain ticks): at pp > 2 a rank's post-active ticks
+    re-receive the raw embedding and would otherwise OVERWRITE its
+    active tick's correct KV (the r5 pp=4 bug — pp=2 masked it because
+    rank 0's input is always the embedding and rank pp-1 runs last).
+    Wall-clock
     per step equals the single-chip full-depth step either way (each rank
     does L/pp layers x pp ticks = L layers of work); pp's win is MEMORY —
     1/pp of the weights and pages per device, which is why 70B-class
@@ -1378,7 +1381,7 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
         x = _embed(other_p, cfg, tokens, wp)
         sin, cos, alibi = _positional_arrays(cfg, wp)
 
-        def stage(h, pools, os_l):
+        def stage(h, pools, os_l, lens_t):
 
             def body(carry, per):
                 h, pools = carry
@@ -1390,7 +1393,7 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
                         dict(pools), _group_slice(go, j, p))
                     h, new_cache = decoder_layer(
                         cfg, _group_slice(gp, j, p), h, sin, cos,
-                        cache, wp, lens,
+                        cache, wp, lens_t,
                         block_table=table + lidx * nb,
                         block_pos=bpos, window=window, sink=sink,
                         alibi=alibi, lora_ids=lora,
@@ -1410,7 +1413,16 @@ def forward_paged_pp(params, cfg: ModelConfig, mesh, tokens: jax.Array,
 
         h = x
         for t in range(pp):
-            h_new, pools, os_new = stage(h, pools, ostate_l)
+            # INACTIVE ticks redirect ALL page writes to the trash block
+            # (kv_valid_len = 0 masks them, like runtime/pp_burst.py's
+            # fill/drain ticks). The old "a rank's own active tick
+            # rewrites the junk before the only read" argument is a
+            # pp=2-only accident: at pp > 2, ranks 0 < r < pp-1 see the
+            # raw embedding again on ticks AFTER their active one and
+            # would overwrite their just-written correct KV with junk
+            # (caught by the pp=4 equality tests, round 5).
+            lens_t = jnp.where(rank == t, lens, jnp.zeros_like(lens))
+            h_new, pools, os_new = stage(h, pools, ostate_l, lens_t)
             h = jnp.where(rank == t, h_new, h)
             # a rank's ostate (running per-channel activation absmax,
             # quant/dynamic.py) only commits on its ACTIVE tick — inactive

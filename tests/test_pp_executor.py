@@ -64,6 +64,30 @@ def test_pp2_kernel_executor_matches_single(quant, monkeypatch):
     assert pkv.GATHER_TRACES[0] == 0
 
 
+@pytest.mark.parametrize("burst", [1, 4])
+def test_pp4_executor_matches_single(burst, monkeypatch):
+    """pp=4 (ll=1): the schedule regime that exposed the round-5 write
+    bug — at pp > 2, ranks 0 < r < pp-1 used to OVERWRITE their active
+    tick's correct KV on later ticks (they receive the raw embedding
+    again), so the step after any decode step read poisoned pages.
+    Inactive-tick writes now go to the trash block (kv_valid_len = 0 in
+    forward_paged_pp's tick loop); pp=2 never showed it because rank 0
+    always re-receives the embedding (its true input) and rank pp-1's
+    active tick is last."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    cfg = ModelConfig(**BASE, quant=QuantConfig(
+        algo=QuantAlgo.INT8_MIX, num_outliers=8,
+        kv_cache=KVCacheQuantAlgo.INT8))
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+    want, _ = _run(cfg, params, None, burst=burst)
+    pkv.GATHER_TRACES[0] = 0
+    got, ex = _run(cfg, params, _mesh(pp=4), burst=burst)
+    assert ex._use_kernels
+    assert got == want, (got, want)
+    assert pkv.GATHER_TRACES[0] == 0
+
+
 @pytest.mark.parametrize("quant", ["none", "int8kv_mix"])
 def test_pp2_tp2_executor_kernel_plane(quant, monkeypatch):
     """pp x tp stage bodies run the Pallas kernels per (stage, head-shard)
