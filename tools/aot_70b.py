@@ -4,19 +4,35 @@ BASELINE.md's multi-host configs are Llama-2-70B and Qwen2-72B
 (/root/reference/mix_qwen_mpi.sh serves Qwen2-72B across ranks). One
 chip cannot RUN them, but the compile-time facts that determine scaling
 can be produced exactly: `jit.lower()` accepts ShapeDtypeStructs with
-NamedShardings, so the full 70B decode step compiles against an 8-device
-mesh without materializing a single weight. This tool lowers:
+NamedShardings, and `jax.experimental.topologies.get_topology_desc`
+yields ABSTRACT v5e meshes the real TPU compiler (libtpu) compiles for —
+so the full 70B decode step compiles against 8- and 16-chip v5e
+topologies without materializing a single weight. This tool lowers:
 
-  * Llama-2-70B geometry (GQA kv_heads=8) under tp=8 — the head-sharded
-    kernel data plane; kv_heads % tp == 0 holds exactly as the VERDICT
-    noted;
-  * Qwen2-72B geometry under pp=4 x tp=2 — the reference's own
-    demonstrated pp serving config, stage-sharded slabs + nested tp;
+  * Llama-2-70B geometry (GQA kv_heads=8) under tp=8 on v5e:2x4 — the
+    head-sharded kernel data plane, kv_heads % tp == 0;
+  * the same geometry under tp=16 on v5e:4x4 with KV heads DUPLICATED
+    to 16 (parallel/sharding.dup_kv_heads, the reference's
+    dup_kv_weight rule — r4 VERDICT missing #4): the kernel plane holds
+    at tp > kv_heads, KV bytes honestly 2x in the census;
+  * Qwen2-72B geometry under pp=4 x tp=2 on v5e:2x4 — the reference's
+    own demonstrated pp serving config, stage-sharded slabs + nested tp;
 
 and prints per mesh: the collective census (psums per layer at
 o_proj/down_proj, zero weight all-gathers), per-device argument bytes,
-and whether weights+pool fit a 16 GB-class device. Run on the 8-device
-virtual CPU mesh:
+a fits-16GB verdict, and — the compile-time face of SURVEY hard-part #5
+(overlap psum with quantized matmuls) — the TPU backend's collective
+lowering evidence. TPU XLA does not expose GPU-style
+all-reduce-start/done HLO pairs; its overlap is the collective EMITTER:
+each all-reduce's backend_config carries a collective_algorithm_config
+(e.g. RotatedPincerEmitter + UniDirection1DRingStrategy — the pincer
+emitters interleave the ring DMA phases with compute inside the LLO
+schedule) and async collective fusion feeds the AR directly into the
+consuming kOutput fusion. The tool asserts every all-reduce got a
+collective_algorithm_config and reports the emitter/strategy set.
+
+Falls back to the 8-device virtual CPU mesh (census only, no emitter
+column) when the TPU compiler/topology API is unavailable:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/aot_70b.py
@@ -24,23 +40,53 @@ virtual CPU mesh:
 
 import functools
 import json
+import re
 import sys
 from pathlib import Path
 
 
+def _tpu_meshes():
+    """(mesh_by_label, platform) — abstract v5e topologies when the TPU
+    compiler is reachable, else virtual-CPU meshes."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    try:
+        from jax.experimental import topologies
+        t8 = topologies.get_topology_desc(platform="tpu",
+                                          topology_name="v5e:2x4")
+        t16 = topologies.get_topology_desc(platform="tpu",
+                                           topology_name="v5e:4x4")
+        d8 = np.array(t8.devices)
+        d16 = np.array(t16.devices)
+        return {
+            "tp=8 (v5e:2x4)": Mesh(d8.reshape(1, 8), ("pp", "tp")),
+            "tp=16 (v5e:4x4)": Mesh(d16.reshape(1, 16), ("pp", "tp")),
+            "pp=4 x tp=2 (v5e:2x4)": Mesh(d8.reshape(4, 2), ("pp", "tp")),
+        }, "tpu"
+    except Exception as e:  # no libtpu / no topology support
+        print(f"[aot_70b] TPU topology unavailable ({e!r}); "
+              "falling back to virtual CPU", file=sys.stderr)
+        d = np.array(jax.devices()[:8])
+        return {
+            "tp=8 (cpu)": Mesh(d.reshape(1, 8), ("pp", "tp")),
+            "pp=4 x tp=2 (cpu)": Mesh(d.reshape(4, 2), ("pp", "tp")),
+        }, "cpu"
+
+
 def main():
     import os
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "tpu", "axon"):
+        pass
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ.setdefault("XLA_FLAGS",
                           "--xla_force_host_platform_device_count=8")
     os.environ.setdefault("MIXQ_PAGED_KERNEL", "force")
     os.environ.setdefault("MIXQ_WRITE_KERNEL", "force")
     import jax
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from mixq_tensorrt_llm_tpu.models import ModelConfig, common as mcommon
@@ -50,20 +96,20 @@ def main():
                                              QuantConfig)
     from mixq_tensorrt_llm_tpu.runtime import kv_cache as pkv
 
-    GEOS = {
-        "llama2-70b": dict(vocab_size=32000, hidden_size=8192,
-                           intermediate_size=28672, num_layers=80,
-                           num_heads=64, num_kv_heads=8, head_dim=128),
-        "qwen2-72b": dict(vocab_size=152064, hidden_size=8192,
-                          intermediate_size=29568, num_layers=80,
-                          num_heads=64, num_kv_heads=8, head_dim=128,
-                          qkv_bias=True),
-    }
-    devices = np.array(jax.devices()[:8])
-    MESHES = {
-        "llama2-70b": ("tp=8", Mesh(devices.reshape(1, 8), ("pp", "tp"))),
-        "qwen2-72b": ("pp=4 x tp=2",
-                      Mesh(devices.reshape(4, 2), ("pp", "tp"))),
+    L70B = dict(vocab_size=32000, hidden_size=8192,
+                intermediate_size=28672, num_layers=80,
+                num_heads=64, num_kv_heads=8, head_dim=128)
+    MESHES, plat = _tpu_meshes()
+    # (geometry, mesh label). tp=16 uses kv_heads=16 — the post-
+    # dup_kv_heads shape tree (each of the 8 GQA heads replicated twice
+    # at shard time; exactness pinned in tests/test_dup_kv_heads.py)
+    CASES = {
+        "llama2-70b": (L70B, "tp=8"),
+        "llama2-70b-tp16-dupkv": (dict(L70B, num_kv_heads=16), "tp=16"),
+        "qwen2-72b": (dict(vocab_size=152064, hidden_size=8192,
+                           intermediate_size=29568, num_layers=80,
+                           num_heads=64, num_kv_heads=8, head_dim=128,
+                           qkv_bias=True), "pp=4 x tp=2"),
     }
     B, MB, BS = 8, 8, 128
 
@@ -76,8 +122,11 @@ def main():
             is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"))
 
     out = {}
-    for name, geo in GEOS.items():
-        label, mesh = MESHES[name]
+    for name, (geo, want_label) in CASES.items():
+        label, mesh = next(((l, m) for l, m in MESHES.items()
+                            if l.startswith(want_label)), (None, None))
+        if mesh is None:
+            continue    # CPU fallback has no 16-device mesh
         cfg = ModelConfig(**geo, quant=QuantConfig(
             algo=QuantAlgo.INT8_MIX, num_outliers=128,
             kv_cache=KVCacheQuantAlgo.INT8))
@@ -134,22 +183,45 @@ def main():
         comp = decode.lower(params_abs, tok, st_abs, tbl, bp, ln).compile()
         txt = comp.as_text()
         lines = txt.splitlines()
-        n_ar = sum(1 for l in lines if " all-reduce(" in l and "=" in l)
+        ar_lines = [l for l in lines if " all-reduce(" in l and "=" in l]
+        n_ar = len(ar_lines)
         n_ag = sum(1 for l in lines if " all-gather(" in l and "=" in l)
         n_cp = sum(1 for l in lines
                    if " collective-permute(" in l and "=" in l)
         ma = comp.memory_analysis()
         per_dev_gb = ma.argument_size_in_bytes / 2**30
-        out[name] = {
-            "mesh": label,
+        row = {
+            "mesh": label, "platform": plat,
             "all_reduce": n_ar, "all_gather": n_ag,
             "collective_permute": n_cp,
             "per_device_argument_gb": round(per_dev_gb, 2),
             "fits_16gb_per_device": per_dev_gb < 14.0,
         }
+        if plat == "tpu":
+            # overlap evidence: every AR must lower to a collective
+            # emitter (backend_config collective_algorithm_config) — the
+            # TPU form of async/overlapped collectives; also count ARs
+            # consumed directly by a fusion (async collective fusion)
+            emitters = sorted({m.group(1) for l in ar_lines
+                               for m in [re.search(r'"emitter":"(\w+)"',
+                                                   l)] if m})
+            strategies = sorted({m.group(1) for l in ar_lines
+                                 for m in [re.search(
+                                     r'"strategy":"(\w+)"', l)] if m})
+            n_cfg = sum(1 for l in ar_lines
+                        if "collective_algorithm_config" in l)
+            assert n_cfg == n_ar, (
+                f"{n_ar - n_cfg} all-reduces lowered WITHOUT a collective "
+                "emitter (no overlap lowering)")
+            row.update(collective_emitters=emitters,
+                       collective_strategies=strategies,
+                       all_reduce_with_emitter=n_cfg)
+        out[name] = row
         print(f"[{name}] {label}: all_reduce={n_ar} all_gather={n_ag} "
-              f"permute={n_cp} per-device args "
-              f"{per_dev_gb:.2f} GiB", file=sys.stderr, flush=True)
+              f"permute={n_cp} per-device args {per_dev_gb:.2f} GiB"
+              + (f" emitters={row.get('collective_emitters')}"
+                 if plat == "tpu" else ""),
+              file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 
