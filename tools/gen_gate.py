@@ -53,6 +53,7 @@ THRESHOLDS = {
     "int8_mix": (0.80, 18.0),
     "int8_mix_kv8": (0.80, 15.0),
     "int4_mix": (0.60, 6.0),
+    "w4a16": (0.60, 6.0),
     "int8_lr": (0.78, 13.0),
     "w4a16_g": (0.65, 8.0),
 }
@@ -115,6 +116,8 @@ def run_gate(steps: int = 1200):
         "int8_mix": quant_cfg(QuantAlgo.INT8_MIX),
         "int8_mix_kv8": quant_cfg(QuantAlgo.INT8_MIX, KVCacheQuantAlgo.INT8),
         "int4_mix": quant_cfg(QuantAlgo.INT4_MIX),
+        # packed-by-default weight-only int4 (storage changed r4)
+        "w4a16": quant_cfg(QuantAlgo.W4A16),
         "int8_lr": quant_cfg(QuantAlgo.INT8_LR),
         "w4a16_g": quant_cfg(QuantAlgo.W4A16_G),
     }

@@ -128,6 +128,7 @@ THRESHOLDS = {          # max relative PPL increase vs float (~2-3x measured)
     "int8_mix": 0.005,
     "int8_mix_kv8": 0.0075,
     "int4_mix": 0.015,
+    "w4a16": 0.02,
     "int8_lr": 0.0075,
     "w4a16_g": 0.025,
 }
@@ -161,6 +162,10 @@ def run_gate(steps: int = 600, max_blocks=None, num_outliers: int = 32):
         "int8_mix": quant_cfg(QuantAlgo.INT8_MIX),
         "int8_mix_kv8": quant_cfg(QuantAlgo.INT8_MIX, KVCacheQuantAlgo.INT8),
         "int4_mix": quant_cfg(QuantAlgo.INT4_MIX),
+        # plain weight-only int4 — packs two-per-byte BY DEFAULT since r4
+        # (commit 910755f changed the storage container; the gate must
+        # cover the packed tensors the serving path actually loads)
+        "w4a16": quant_cfg(QuantAlgo.W4A16),
         "int8_lr": quant_cfg(QuantAlgo.INT8_LR),
         "w4a16_g": quant_cfg(QuantAlgo.W4A16_G),
     }
