@@ -347,6 +347,64 @@ def main():
         except Exception as e:   # serving row must not sink the headline
             log(f"[bench] serving measurement failed: {e!r}")
 
+    # 64-lane LONG-GENERATION capacity row (r4 VERDICT weak #7): w4a16
+    # weights (3.4 GB) leave HBM for a 38k-token int8-KV budget that
+    # int8's 6.7 GB of weights cannot fit beside; demand is 64 x ~790
+    # tokens (~50k), so KV-pressure preemption must fire and replay —
+    # the regime where budgeting/preemption earn their keep under real
+    # pressure (reference executor pause/resume under cache pressure).
+    if os.environ.get("MIXQ_BENCH_SKIP_SERVING") != "1" and not tiny:
+        try:
+            import gc
+            import numpy as np
+            from mixq_tensorrt_llm_tpu.models import (ModelConfig,
+                                                      llama as mllama)
+            from mixq_tensorrt_llm_tpu.quant import QuantAlgo, QuantConfig
+            from mixq_tensorrt_llm_tpu.quant.config import KVCacheQuantAlgo
+            from mixq_tensorrt_llm_tpu.runtime.scheduler import Executor
+            # the serving row's 32-lane executor still pins its pool +
+            # params — drop them or the 10 GB capacity pool OOMs
+            try:
+                del ex, sparams, done    # noqa: F821
+            except NameError:
+                pass
+            gc.collect()
+            jax.clear_caches()
+            n_req, plen, glen, burst = 64, 256, 512, 16
+            w4 = QuantConfig(algo=QuantAlgo.W4A16, num_outliers=128,
+                             kv_cache=KVCacheQuantAlgo.INT8)
+            ccfg = ModelConfig(**cfg_kw, quant=w4)
+            log(f"[bench] capacity: {n_req} req x gen {glen} w4a16, "
+                f"kv budget 38k tokens (int8 weights cannot fit beside)")
+            t0 = time.time()
+            cparams = mllama.init_random_params(ccfg, jax.random.PRNGKey(0))
+            exc = Executor(cparams, ccfg, max_batch=n_req,
+                           max_seq_len=plen + glen + burst + 8,
+                           block_size=128, prefill_chunk=256,
+                           prefill_lanes=4, seed=0, max_kv_tokens=38000)
+            rng = np.random.default_rng(0)
+            exc.submit(rng.integers(1, ccfg.vocab_size, plen).tolist(),
+                       max_new_tokens=glen)
+            exc.run(burst=burst)
+            exc.finished.clear()
+            exc.warmup(prompt_len=min(plen, 256), burst=burst)
+            exc.finished.clear()
+            log(f"  staged+warm in {time.time()-t0:.0f}s")
+            rids = [exc.submit(rng.integers(1, ccfg.vocab_size,
+                                            plen).tolist(),
+                               max_new_tokens=glen) for _ in range(n_req)]
+            t0 = time.perf_counter()
+            done = exc.run(burst=burst)
+            wall = time.perf_counter() - t0
+            gen_total = sum(len(done[r].generated) for r in rids)
+            assert all(len(done[r].generated) == glen for r in rids)
+            extra["capacity64_w4a16_gen_tok_s"] = round(gen_total / wall, 1)
+            extra["capacity64_preemptions"] = exc.preemptions
+            log(f"[bench] capacity: {gen_total/wall:,.0f} gen tok/s, "
+                f"{exc.preemptions} preemptions (wall {wall:.1f}s)")
+        except Exception as e:
+            log(f"[bench] capacity measurement failed: {e!r}")
+
     print(json.dumps({
         "metric": name,
         "value": round(tok_s, 1),

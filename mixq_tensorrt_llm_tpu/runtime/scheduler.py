@@ -398,6 +398,22 @@ class Executor:
         cfg_s = cfg
         mb = self.max_blocks_per_seq
 
+        if dp > 1:
+            # dp leaves step outputs LANE-sharded; the single-controller
+            # host plane reads every lane's token back (and on a real
+            # multi-process mesh a host cannot fetch other groups'
+            # shards), so the tiny (B,)-scalar outputs replicate via one
+            # all-gather of a few bytes — the only collective a dp step
+            # carries, outside the model math
+            _rep_sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec())
+
+            def _rep(x):
+                return jax.lax.with_sharding_constraint(x, _rep_sh)
+        else:
+            def _rep(x):
+                return x
+
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_chunk_fn(params, tokens, state, block_table, block_pos,
                              start, length, key, samp, history,
@@ -430,7 +446,7 @@ class Executor:
                                  bad_words=bad_words)
             lp = jnp.take_along_axis(jax.nn.log_softmax(last, axis=-1),
                                      tok[:, None], axis=-1)[:, 0]
-            return tok, lp, state, new_ostate
+            return _rep(tok), _rep(lp), state, new_ostate
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_fn(params, tokens, state, block_table, block_pos, lens,
@@ -452,7 +468,7 @@ class Executor:
                                       bad_words=bad_words)
             lp = jnp.take_along_axis(jax.nn.log_softmax(last, axis=-1),
                                      next_tok[:, None], axis=-1)[:, 0]
-            return next_tok, lp, state
+            return _rep(next_tok), _rep(lp), state
 
         def make_burst_fn(k: int):
             @functools.partial(jax.jit, donate_argnums=(2,))
@@ -486,8 +502,8 @@ class Executor:
                 (_, state, _, _, _, _), (toks, lps) = jax.lax.scan(
                     body, (tokens, state, lens, key, history, min_left),
                     None, length=k)
-                return (jnp.moveaxis(toks, 0, 1),
-                        jnp.moveaxis(lps, 0, 1), state)   # (B, k) each
+                return (_rep(jnp.moveaxis(toks, 0, 1)),
+                        _rep(jnp.moveaxis(lps, 0, 1)), state)  # (B, k)
             return burst_fn
 
         self._prefill = prefill_chunk_fn

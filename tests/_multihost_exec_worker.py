@@ -18,8 +18,12 @@ the schedulers diverge. The worker asserts BOTH:
 
 and prints the tokens for the parent to compare ACROSS workers.
 
-Modes: tp (tp=4 one-axis mesh) and pptp (pp=2 x tp=2 — the cross-process
-pipeline-parallel serving the reference does over mpi4py).
+Modes: tp (tp=4 one-axis mesh), pptp (pp=2 x tp=2 — the cross-process
+pipeline-parallel serving the reference does over mpi4py), dp (dp=2 x
+tp=2 — r5 lane groups: each PROCESS PAIR owns a lane group's pool slice
+and block manager, admission must stay host-identical), and beams
+(pp=2 x tp=2 run_beams with the r5 circular beam burst — the top-k
+reorder ring and last-stage psum ride the inter-process transport).
 
 Usage: _multihost_exec_worker.py <coordinator> <num_procs> <proc_id> <mode>
 """
@@ -63,12 +67,13 @@ PROMPTS = [[3, 1, 4, 1, 5, 9, 2, 6, 5], [2, 7, 19, 23, 29], [11, 12, 13, 14]]
 BUDGETS = [6, 5, 6]
 
 
-def _run(params, cfg, mesh):
-    ex = Executor(params, cfg, seed=0, mesh=mesh, max_batch=2,
+def _run(params, cfg, mesh, beams=0, max_batch=2):
+    ex = Executor(params, cfg, seed=0, mesh=mesh, max_batch=max_batch,
                   max_seq_len=64, block_size=8, prefill_chunk=8)
     ids = [ex.submit(p, max_new_tokens=b)
            for p, b in zip(PROMPTS, BUDGETS)]
-    done = ex.run(burst=4)
+    done = ex.run_beams(num_beams=beams, burst=4) if beams else \
+        ex.run(burst=4)
     return [done[r].generated for r in ids], ex
 
 
@@ -88,19 +93,34 @@ def main():
     # identical on every host: same seed, deterministic init
     params = init_random_params(cfg, jax.random.PRNGKey(0))
 
-    # single-process golden on this host's local device (mesh=None)
-    want, _ = _run(params, cfg, None)
-
     devs = np.array(jax.devices())
+    kw = {}
     if mode == "tp":
         mesh = Mesh(devs.reshape(1, 4), ("pp", "tp"))
     elif mode == "pptp":
         mesh = Mesh(devs.reshape(2, 2), ("pp", "tp"))
+    elif mode == "dp":
+        # r5 lane groups across processes: group 0's pool slice lives on
+        # this host pair, group 1's on the other — the schedulers'
+        # group-aware admission must stay host-identical or the manual
+        # shard_map deadlocks
+        mesh = Mesh(devs.reshape(2, 2), ("dp", "tp"))
+        kw = {"max_batch": 4}
+    elif mode == "beams":
+        # r5 circular beam burst across processes (run_beams needs a
+        # uniform budget; 2 requests = pp groups of 1)
+        global PROMPTS, BUDGETS
+        PROMPTS, BUDGETS = PROMPTS[:2], [6, 6]
+        mesh = Mesh(devs.reshape(2, 2), ("pp", "tp"))
+        kw = {"beams": 2}
     else:
         raise SystemExit(f"unknown mode {mode}")
 
+    # single-process golden on this host's local devices (mesh=None)
+    want, _ = _run(params, cfg, None, **kw)
+
     pkv.GATHER_TRACES[0] = 0
-    got, ex = _run(params, cfg, mesh)
+    got, ex = _run(params, cfg, mesh, **kw)
     assert ex._use_kernels, "cross-process serving fell off the kernel plane"
     assert pkv.GATHER_TRACES[0] == 0, "pool gather in the cross-process step"
     assert got == want, (got, want)

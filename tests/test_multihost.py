@@ -82,3 +82,21 @@ def test_two_process_executor_pp_tp():
     inter-process transport."""
     toks = _run_pair("_multihost_exec_worker.py", ["pptp"], "TOKENS")
     assert toks[0] == toks[1], toks
+
+
+def test_two_process_executor_dp():
+    """r5 dp lane groups across processes: each process pair owns one
+    group's pool slice + block manager; the hosts' group-aware admission
+    must stay identical, and the only cross-group traffic is the
+    (B,)-scalar token replication for the host readback."""
+    toks = _run_pair("_multihost_exec_worker.py", ["dp"], "TOKENS")
+    assert toks[0] == toks[1], toks
+
+
+def test_two_process_beam_burst():
+    """r5 circular beam burst (runtime/beam_pp.py) across processes on a
+    pp=2 x tp=2 mesh: the top-k reorder ring, final-reorder psum and
+    last-stage logits psum all ride the inter-process transport; both
+    workers must produce the single-process beams exactly."""
+    toks = _run_pair("_multihost_exec_worker.py", ["beams"], "TOKENS")
+    assert toks[0] == toks[1], toks
