@@ -150,3 +150,27 @@ def test_dp_grouped_stats_and_reuse(monkeypatch):
     out2 = ex.run()[r2].generated
     assert out1 == out2
     assert ex.get_kv_cache_stats()["cached_num_blocks"] > 0
+
+
+def test_dp_windowed_matches_single(monkeypatch):
+    """StreamingLLM sink+window serving under dp lane groups: each
+    group's block manager recycles windowed pages independently;
+    outputs equal the single-device windowed executor."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    cfg = _cfg("int8kv_mix")
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+
+    def run(mesh):
+        ex = Executor(params, cfg, seed=0, mesh=mesh, max_batch=4,
+                      max_seq_len=128, block_size=8, prefill_chunk=8,
+                      sink_blocks=1, window_blocks=3)
+        ids = [ex.submit(p, max_new_tokens=40) for p in PROMPTS[:4]]
+        done = ex.run(burst=8)
+        return [done[r].generated for r in ids]
+
+    want = run(None)
+    pkv.GATHER_TRACES[0] = 0
+    got = run(_mesh(dp=2))
+    assert got == want, (got, want)
+    assert pkv.GATHER_TRACES[0] == 0

@@ -101,3 +101,24 @@ def test_tp4_kv2_executor_kernel_plane(quant, monkeypatch):
     assert ex.state.k.shape[1] == 4
     assert got == want, (got, want)
     assert pkv.GATHER_TRACES[0] == 0
+
+
+def test_beams_tp4_kv2_kernel_plane(monkeypatch):
+    """paged_beam_search applies dup_kv_heads itself: tp=4 > kv=2 beams
+    stay on the stats-mode kernel plane and match single-device beams."""
+    monkeypatch.setenv("MIXQ_PAGED_KERNEL", "force")
+    monkeypatch.setenv("MIXQ_WRITE_KERNEL", "force")
+    from mixq_tensorrt_llm_tpu.runtime.beam import paged_beam_search
+    cfg = ModelConfig(**dict(BASE, dtype=jnp.float32),
+                      quant=QuantConfig(algo=QuantAlgo.INT8_MIX,
+                                        num_outliers=8,
+                                        kv_cache=KVCacheQuantAlgo.INT8))
+    params = init_random_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4, 1, 5, 9], [2, 7, 1], [11, 12, 13, 14]]
+    kw = dict(num_beams=3, max_seq_len=64, block_size=8, burst=4)
+    ref = paged_beam_search(params, cfg, prompts, 8, **kw)
+    got = paged_beam_search(params, cfg, prompts, 8, mesh=_tp_mesh(4),
+                            **kw)
+    assert got.sequences == ref.sequences
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=2e-5,
+                               atol=2e-5)
